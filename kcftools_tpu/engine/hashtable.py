@@ -1,0 +1,170 @@
+"""Bucketed two-choice hash table for device k-mer lookups.
+
+Replaces the reference's signature-map + prefix-LUT + binary-search
+lookup (reference: Data/KMC.java:292-326) with a TPU-friendly layout:
+keys live in buckets of 8 slots; every key is in one of two buckets
+derived from two 32-bit mixes of its (hi, lo) halves. A batched device
+lookup is exactly two 8-wide row gathers + vectorized compares - fixed
+shape, no data-dependent control flow.
+
+The table is built on host with vectorized round-based insertion (each
+round places every still-homeless key into the emptier of its two
+buckets, resolving per-bucket contention with a stable sort); if a key
+cannot be placed the table grows and the build restarts. Load factor
+0.65 with bucket size 8 virtually never overflows.
+
+Empty slots are marked by count == 0, which cannot collide with a real
+entry: KMC databases only store k-mers with count >= 1.
+"""
+
+import numpy as np
+
+from .encode import split_hi_lo
+from ..utils.logger import Logger
+
+_CLASS = "KmerTable"
+
+BUCKET_SLOTS = 8
+
+# 32-bit mix constants (murmur3 finalizer structure)
+_C1A = np.uint32(0x9E3779B1)
+_C1B = np.uint32(0x85EBCA77)
+_C2A = np.uint32(0xC2B2AE3D)
+_C2B = np.uint32(0x27D4EB2F)
+
+
+def _fmix32(h):
+    h = h.astype(np.uint32) if isinstance(h, np.ndarray) else h
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def bucket_hashes_np(hi, lo, n_buckets: int):
+    """The two candidate bucket indices of each (hi, lo) key. Must stay
+    bit-identical with ops.lookup.bucket_hashes_jnp."""
+    hi = np.asarray(hi, np.uint32)
+    lo = np.asarray(lo, np.uint32)
+    mask = np.uint32(n_buckets - 1)
+    h1 = _fmix32(hi * _C1A + lo * _C1B + np.uint32(0xA5A5A5A5)) & mask
+    h2 = _fmix32(hi * _C2A + lo * _C2B + np.uint32(0x3C6EF372)) & mask
+    return h1, h2
+
+
+def _next_pow2(x: int) -> int:
+    n = 1
+    while n < x:
+        n <<= 1
+    return n
+
+
+class KmerTable:
+    """Device-layout hash table: (nb, 8) uint32 arrays hi / lo / count."""
+
+    def __init__(self, hi, lo, counts, k, n_keys, both_strands=True):
+        self.hi = hi
+        self.lo = lo
+        self.counts = counts
+        self.k = k
+        self.n_keys = n_keys
+        self.n_buckets = hi.shape[0]
+        self.both_strands = both_strands
+
+    @property
+    def nbytes(self):
+        return self.hi.nbytes + self.lo.nbytes + self.counts.nbytes
+
+    def lookup_np(self, kmers_u64):
+        """Host (numpy) lookup of packed canonical k-mers -> counts.
+        Mirrors the device kernel; used for tests and CPU fallback."""
+        hi, lo = split_hi_lo(np.asarray(kmers_u64, np.uint64), self.k)
+        out = np.zeros(hi.shape, np.uint32)
+        h1, h2 = bucket_hashes_np(hi, lo, self.n_buckets)
+        for b, use in ((h1, None), (h2, h2 != h1)):
+            rows_hi = self.hi[b]  # (n, 8)
+            rows_lo = self.lo[b]
+            rows_cnt = self.counts[b]
+            match = (rows_hi == hi[:, None]) & (rows_lo == lo[:, None]) & (
+                rows_cnt != 0
+            )
+            contrib = (rows_cnt * match).sum(axis=1, dtype=np.uint32)
+            if use is not None:
+                contrib = np.where(use, contrib, 0)
+            out += contrib
+        return out
+
+
+def build_table(
+    kmers_u64: np.ndarray,
+    counts: np.ndarray,
+    k: int,
+    load_factor: float = 0.65,
+    both_strands: bool = True,
+) -> KmerTable:
+    kmers_u64 = np.asarray(kmers_u64, np.uint64)
+    counts = np.asarray(counts, np.uint32)
+    n = kmers_u64.shape[0]
+    hi, lo = split_hi_lo(kmers_u64, k)
+
+    nb = _next_pow2(max(2, int(np.ceil(n / (BUCKET_SLOTS * load_factor)))))
+    while True:
+        table = _try_build(hi, lo, counts, nb)
+        if table is not None:
+            t_hi, t_lo, t_cnt = table
+            Logger.info(
+                _CLASS,
+                f"Built table: {n} keys, {nb} buckets x {BUCKET_SLOTS} "
+                f"({n / (nb * BUCKET_SLOTS):.2f} load, "
+                f"{(t_hi.nbytes * 3) / 1e6:.1f} MB)",
+            )
+            return KmerTable(t_hi, t_lo, t_cnt, k, n, both_strands)
+        nb *= 2
+        Logger.warning(_CLASS, f"Hash table overflow; growing to {nb} buckets")
+
+
+def _try_build(hi, lo, counts, nb):
+    n = hi.shape[0]
+    t_hi = np.zeros((nb, BUCKET_SLOTS), np.uint32)
+    t_lo = np.zeros((nb, BUCKET_SLOTS), np.uint32)
+    t_cnt = np.zeros((nb, BUCKET_SLOTS), np.uint32)
+    fill = np.zeros(nb, np.int32)
+
+    b1, b2 = bucket_hashes_np(hi, lo, nb)
+    remaining = np.arange(n)
+    for _round in range(64):
+        if remaining.size == 0:
+            return t_hi, t_lo, t_cnt
+        rb1 = b1[remaining]
+        rb2 = b2[remaining]
+        target = np.where(fill[rb1] <= fill[rb2], rb1, rb2).astype(np.int64)
+        order = np.argsort(target, kind="stable")
+        t_sorted = target[order]
+        # rank of each key within its target-bucket group
+        grp_start = np.flatnonzero(
+            np.concatenate(([True], t_sorted[1:] != t_sorted[:-1]))
+        )
+        grp_id = np.cumsum(
+            np.concatenate(([0], (t_sorted[1:] != t_sorted[:-1]).astype(np.int64)))
+        )
+        rank = np.arange(t_sorted.size) - grp_start[grp_id]
+        space = BUCKET_SLOTS - fill[t_sorted]
+        placed = rank < space
+        slot = fill[t_sorted] + rank
+        rows = t_sorted[placed]
+        cols = slot[placed]
+        src = remaining[order][placed]
+        t_hi[rows, cols] = hi[src]
+        t_lo[rows, cols] = lo[src]
+        t_cnt[rows, cols] = counts[src]
+        np.add.at(fill, rows, 1)
+        remaining = remaining[order][~placed]
+        # keys whose both buckets are full can never place in later rounds
+        stuck = (fill[b1[remaining]] >= BUCKET_SLOTS) & (
+            fill[b2[remaining]] >= BUCKET_SLOTS
+        )
+        if stuck.any():
+            return None
+    return None

@@ -1,0 +1,185 @@
+"""The jitted end-to-end window scoring pipeline.
+
+For a padded batch of windows this computes, entirely on device with
+fixed shapes and no sequential host loops:
+
+  2-bit codes -> rolling 16-base packs -> (hi,lo) canonical k-mers ->
+  bucketed hash-table lookups -> per-window gap-run statistics.
+
+The gap-run state machine of the reference (Plugins/GetVariants.java:
+219-251) is replaced by a data-parallel formulation: with ``vidx`` the
+ordinal of each valid k-mer and ``prev`` the ordinal of the previous
+present k-mer (an exclusive running max), every gap statistic is an
+elementwise expression + masked reduction:
+
+  gap_before(i)   = vidx(i) - prev(i) - 1          (at present positions)
+  leading gap     -> leftDist,  closed interior -> innerDistance with the
+  reference's distance correction d<=0 -> |d+1| (GetVariants.java:267-273)
+  trailing gap    -> rightDist (+1 variation)
+
+Effective length (ACGT stretches >= k, Data/Fasta.java:140-167) uses the
+same running-max trick on base-level validity runs.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmerize import rolling_pack_u32, assemble_kmers, canonical_select
+from ..ops.lookup import table_lookup
+
+PAD_MARGIN = 32  # extra zero codes after the longest window (>= 32; see ops.kmerize)
+
+
+def _exclusive_cummax(x, axis, init):
+    shifted = jnp.concatenate(
+        [jnp.full(x.shape[:axis] + (1,) + x.shape[axis + 1 :], init, x.dtype),
+         jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
+    return jax.lax.cummax(shifted, axis=axis)
+
+
+def score_windows_core(
+    codes, valid, win_len, lookup_fn, *, k: int, min_count: int,
+    both_strands: bool
+):
+    """codes: (B, Lp) uint32 2-bit codes (zero padded; Lp >= max window
+    length + PAD_MARGIN). valid: (B, Lp) bool, ACGT-and-inside-window.
+    win_len: (B,) int32 actual window lengths. lookup_fn maps (hi, lo)
+    query arrays to uint32 counts (single-chip table or sharded).
+
+    Returns dict of (B,) arrays: total, observed, variations, inner,
+    left, right, count_sum (float64), eff_length.
+    """
+    B, Lp = codes.shape
+    n_out = Lp - PAD_MARGIN  # k-mer start positions considered
+
+    w32, rcw32 = rolling_pack_u32(codes)
+    fwd_hi, fwd_lo, rc_hi, rc_lo = assemble_kmers(w32, rcw32, k, n_out)
+    if both_strands:
+        hi, lo = canonical_select(fwd_hi, fwd_lo, rc_hi, rc_lo)
+    else:
+        hi, lo = fwd_hi, fwd_lo
+
+    counts = lookup_fn(hi, lo)
+
+    # k-mer validity: all k bases valid and start within win_len - k + 1
+    vi = valid.astype(jnp.int32)
+    cv = jnp.cumsum(vi, axis=1)
+    cv_pad = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cv], axis=1)
+    run_k = cv_pad[:, k : k + n_out] - cv_pad[:, 0:n_out]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, n_out), 1)
+    kmer_valid = (run_k == k) & (pos <= win_len[:, None] - k)
+
+    present = kmer_valid & (counts >= jnp.uint32(min_count))
+
+    # ordinals of valid k-mers
+    kv = kmer_valid.astype(jnp.int32)
+    vidx = jnp.cumsum(kv, axis=1) - 1
+    pres_ord = jnp.where(present, vidx, jnp.int32(-1))
+    prev = _exclusive_cummax(pres_ord, axis=1, init=jnp.int32(-1))
+
+    gap_before = vidx - prev - 1
+    closed = present & (gap_before > 0)
+    leading = closed & (prev == -1)
+    interior = closed & (prev >= 0)
+
+    d = gap_before - (k - 1)
+    dist = jnp.where(d > 0, d, jnp.abs(d + 1))
+
+    left = jnp.sum(jnp.where(leading, gap_before, 0), axis=1)
+    inner = jnp.sum(jnp.where(interior, dist, 0), axis=1)
+    var_closed = jnp.sum(closed.astype(jnp.int32), axis=1)
+
+    total = jnp.sum(kv, axis=1)
+    observed = jnp.sum(present.astype(jnp.int32), axis=1)
+    last_p = jnp.max(pres_ord, axis=1)  # -1 when nothing present
+    trailing = total - 1 - last_p
+    has_trailing = trailing > 0
+    right = jnp.where(has_trailing, trailing, 0)
+    variations = var_closed + has_trailing.astype(jnp.int32)
+
+    count_sum = jnp.sum(
+        jnp.where(present, counts, jnp.uint32(0)).astype(jnp.float64), axis=1
+    )
+
+    # effective length: base-level ACGT runs of length >= k
+    bpos = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
+    prev_valid = jnp.concatenate([jnp.zeros((B, 1), bool), valid[:, :-1]], axis=1)
+    next_valid = jnp.concatenate([valid[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+    run_start = valid & ~prev_valid
+    run_end = valid & ~next_valid
+    start_pos = jax.lax.cummax(jnp.where(run_start, bpos, jnp.int32(-1)), axis=1)
+    run_len = bpos - start_pos + 1
+    eff = jnp.sum(jnp.where(run_end & (run_len >= k), run_len, 0), axis=1)
+
+    return {
+        "total": total,
+        "observed": observed,
+        "variations": variations,
+        "inner": inner,
+        "left": left,
+        "right": right,
+        "count_sum": count_sum,
+        "eff_length": eff,
+    }
+
+
+def score_windows_device(
+    codes, valid, win_len, t_hi, t_lo, t_cnt, *, k: int, min_count: int,
+    both_strands: bool
+):
+    """Single-device scoring: core pipeline with a local table lookup."""
+    return score_windows_core(
+        codes,
+        valid,
+        win_len,
+        lambda hi, lo: table_lookup(hi, lo, t_hi, t_lo, t_cnt),
+        k=k,
+        min_count=min_count,
+        both_strands=both_strands,
+    )
+
+
+class WindowScorer:
+    """Wraps a KmerTable on device + jitted scoring over padded batches."""
+
+    def __init__(self, table, min_count: int = 1, device=None):
+        self.k = table.k
+        self.min_count = int(min_count)
+        self.both_strands = table.both_strands
+        self.device = device
+        put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+        self.t_hi = put(table.hi)
+        self.t_lo = put(table.lo)
+        self.t_cnt = put(table.counts)
+        self._fns = {}
+
+    def _fn(self, Lp: int):
+        if Lp not in self._fns:
+            self._fns[Lp] = jax.jit(
+                functools.partial(
+                    score_windows_device,
+                    k=self.k,
+                    min_count=self.min_count,
+                    both_strands=self.both_strands,
+                )
+            )
+        return self._fns[Lp]
+
+    def score_batch(self, codes: np.ndarray, valid: np.ndarray, win_len: np.ndarray):
+        """codes/valid: (B, Lp) host arrays, win_len (B,). Returns dict of
+        host numpy arrays."""
+        Lp = codes.shape[1]
+        out = self._fn(Lp)(
+            jnp.asarray(codes, jnp.uint32),
+            jnp.asarray(valid, bool),
+            jnp.asarray(win_len, jnp.int32),
+            self.t_hi,
+            self.t_lo,
+            self.t_cnt,
+        )
+        return {key: np.asarray(v) for key, v in out.items()}

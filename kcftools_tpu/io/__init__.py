@@ -1,0 +1,16 @@
+from .fasta import FastaIndex
+from .kmc import KMCReader, write_kmc_db
+from .kcf import KCFHeader, Window, SampleData, KCFReader, KCFWriter
+from .gtf import GTF
+
+__all__ = [
+    "FastaIndex",
+    "KMCReader",
+    "write_kmc_db",
+    "KCFHeader",
+    "Window",
+    "SampleData",
+    "KCFReader",
+    "KCFWriter",
+    "GTF",
+]

@@ -1,0 +1,300 @@
+"""KMC3 k-mer count database I/O.
+
+Reader: decodes a ``.kmc_pre``/``.kmc_suf`` pair (format per
+/root/reference/docs/formats/kmc.md and Data/KMC.java:107-189) into flat
+numpy arrays of packed canonical k-mers + counts. Unlike the reference -
+which keeps KMC's signature map + prefix LUTs and answers each query with
+a signature scan + binary search (KMC.java:292-326) - we reconstruct every
+k-mer once at ingest (prefix = LUT-array index mod 4^lut, suffix from the
+record; same reconstruction the reference's own dumpKmerTable debug path
+uses, KMC.java:427-450) and hand the flat table to the engine, which
+builds a bucketed hash table for O(1) batched device lookups. Only
+membership/count semantics must match, not lookup mechanics.
+
+Writer: emits the same binary format (so the reference Java tool could
+read our databases), used by the test suite and the built-in ``count``
+subcommand - this environment has no KMC binary, and users of the rebuilt
+framework get a native counter for free.
+
+K-mers are packed big-endian 2-bit (A=0,C=1,G=2,T=3; first base in the
+most-significant bits) into uint64, supporting k <= 32 (the reference's
+documented envelope is KMC signature length 9 and k around 31;
+docs/general/limitations.md).
+"""
+
+import os
+import struct
+
+import numpy as np
+
+from ..utils.logger import Logger
+
+_CLASS = "KMC"
+_HEADER_BYTES = 68  # k..version inclusive: 7*u32 + u64 + 4*u8 + 6*u32 + u32
+
+
+def _build_norm(sig_len: int) -> np.ndarray:
+    """KMC2-style m-mer norm map: norm[m] = min(allowed(m), allowed(rc(m)))
+    with disallowed m-mers mapped to the sentinel 4^sig_len.
+
+    Semantics per reference Data/Signature.java:23-76.
+    """
+    special = 1 << (2 * sig_len)
+    m = np.arange(special, dtype=np.uint32)
+
+    # reverse complement of each m-mer
+    rev = np.zeros_like(m)
+    x = m.copy()
+    for _ in range(sig_len):
+        rev = (rev << 2) | ((~x) & 0b11)
+        x = x >> 2
+    rev &= special - 1
+
+    def allowed(sig):
+        ok = np.ones(sig.shape, dtype=bool)
+        ok &= (sig & 0x3F) != 0x3F  # TTT suffix
+        ok &= (sig & 0x3F) != 0x3B  # TGT suffix
+        ok &= (sig & 0x3C) != 0x3C  # TG* suffix
+        s = sig.copy()
+        for _ in range(sig_len - 3):
+            ok &= (s & 0xF) != 0  # AA inside
+            # reference shifts only when the current check passes; once a
+            # disallowed pattern is found the m-mer is rejected outright, so
+            # unconditional shift on rejected lanes cannot un-reject them.
+            s = s >> 2
+        ok &= s != 0  # AAA prefix
+        ok &= s != 0x04  # ACA prefix
+        ok &= (s & 0xF) != 0  # *AA prefix
+        return ok
+
+    str_val = np.where(allowed(m), m, special).astype(np.uint64)
+    rev_val = np.where(allowed(rev), rev, special).astype(np.uint64)
+    return np.minimum(str_val, rev_val).astype(np.uint32)
+
+
+def kmer_signatures(kmers: np.ndarray, k: int, sig_len: int, norm=None) -> np.ndarray:
+    """Minimum norm over all m-mers of each packed k-mer
+    (reference Data/Kmer.java:105-118)."""
+    if norm is None:
+        norm = _build_norm(sig_len)
+    mask = np.uint64((1 << (2 * sig_len)) - 1)
+    best = None
+    for t in range(k - sig_len + 1):
+        mm = (kmers >> np.uint64(2 * (k - sig_len - t))) & mask
+        v = norm[mm.astype(np.int64)]
+        best = v if best is None else np.minimum(best, v)
+    return best
+
+
+class KMCReader:
+    """Decode a KMC3 database into flat (kmer64, count) arrays."""
+
+    def __init__(self, db_prefix: str):
+        self.prefix_file = db_prefix + ".kmc_pre"
+        self.suffix_file = db_prefix + ".kmc_suf"
+        self._read_prefix_file()
+        self._read_records()
+        self.print_summary()
+
+    def _read_prefix_file(self):
+        size = os.path.getsize(self.prefix_file)
+        with open(self.prefix_file, "rb") as fh:
+            mm = np.memmap(fh, dtype=np.uint8, mode="r")
+            (header_offset,) = struct.unpack("<i", bytes(mm[size - 8 : size - 4]))
+            hstart = size - header_offset - 8
+            hdr = bytes(mm[hstart : hstart + _HEADER_BYTES])
+            (
+                self.kmer_length,
+                self.mode,
+                self.counter_size,
+                self.lut_prefix_length,
+                self.signature_length,
+                self.min_count,
+                self.max_count,
+                self.total_kmers,
+            ) = struct.unpack("<7iq", hdr[:36])
+            both_strands_byte = hdr[36]
+            self.both_strands = both_strands_byte == 0  # per KMC.java:133
+            (self.version,) = struct.unpack("<i", hdr[64:68])
+            if self.version != 0x200:
+                Logger.error(_CLASS, "KMC version is not 0x200")
+            if self.kmer_length > 32:
+                Logger.error(
+                    _CLASS,
+                    f"k={self.kmer_length} > 32 not supported by this build",
+                )
+            self.suffix_length = self.kmer_length - self.lut_prefix_length
+
+            sig_map_size = (1 << (2 * self.signature_length)) + 1
+            sig_map_start = hstart - sig_map_size * 4
+            self.signature_map = (
+                np.frombuffer(
+                    bytes(mm[sig_map_start : sig_map_start + sig_map_size * 4]),
+                    dtype="<u4",
+                )
+            )
+            lut_size = 1 << (2 * self.lut_prefix_length)
+            n_luts = (sig_map_start - 8 - 4) // (lut_size * 8)
+            self.n_prefix_arrays = n_luts
+            self.prefix_array = np.frombuffer(
+                bytes(mm[4 : 4 + n_luts * lut_size * 8]), dtype="<u8"
+            )
+
+    def _read_records(self):
+        suf_bytes = self.suffix_length // 4
+        rec = suf_bytes + self.counter_size
+        n = self.total_kmers
+        with open(self.suffix_file, "rb") as fh:
+            raw = np.fromfile(fh, dtype=np.uint8, offset=4, count=n * rec)
+        if raw.shape[0] < n * rec:
+            Logger.error(_CLASS, f"Truncated suffix file: {self.suffix_file}")
+        raw = raw.reshape(n, rec)
+
+        # suffix: bytes hold 4 bases each, first base in the top 2 bits
+        suffix = np.zeros(n, dtype=np.uint64)
+        for j in range(suf_bytes):
+            suffix = (suffix << np.uint64(8)) | raw[:, j].astype(np.uint64)
+
+        # counter: little-endian 1..4 bytes
+        counts = np.zeros(n, dtype=np.uint32)
+        for j in range(self.counter_size):
+            counts |= raw[:, suf_bytes + j].astype(np.uint32) << np.uint32(8 * j)
+
+        # prefix of each record from the LUT-array bin boundaries
+        lut_size = 1 << (2 * self.lut_prefix_length)
+        bounds = np.append(self.prefix_array, np.uint64(n)).astype(np.int64)
+        per_bin = np.diff(bounds)
+        if (per_bin < 0).any():
+            Logger.error(_CLASS, f"Corrupt prefix array in {self.prefix_file}")
+        prefixes = np.repeat(
+            np.arange(len(self.prefix_array), dtype=np.int64) % lut_size, per_bin
+        ).astype(np.uint64)
+        if prefixes.shape[0] != n:
+            Logger.error(_CLASS, "Prefix array does not cover all records")
+
+        self.kmers = (prefixes << np.uint64(2 * self.suffix_length)) | suffix
+        self.counts = counts
+
+    def print_summary(self):
+        rows = [
+            ("KMC prefix file", self.prefix_file),
+            ("KMC suffix file", self.suffix_file),
+            ("Kmer length", self.kmer_length),
+            ("Mode", self.mode),
+            ("Counter size", self.counter_size),
+            ("LUT prefix length", self.lut_prefix_length),
+            ("Signature length", self.signature_length),
+            ("Min count", self.min_count),
+            ("Max count", self.max_count),
+            ("Total kmers", self.total_kmers),
+            ("Both strands", self.both_strands),
+        ]
+        Logger.info(_CLASS, "==================== KMC INFO ====================")
+        for k, v in rows:
+            Logger.info(_CLASS, f"{k:<25}: {v}")
+        Logger.info(_CLASS, "==================================================")
+
+
+def choose_lut_prefix_length(k: int) -> int:
+    """Smallest lut length >= 1 with (k - lut) % 4 == 0 (KMC stores whole
+    suffix bytes)."""
+    for lut in range(1, k):
+        if (k - lut) % 4 == 0:
+            return lut
+    return k  # degenerate tiny k
+
+
+def write_kmc_db(
+    db_prefix: str,
+    kmers: np.ndarray,
+    counts: np.ndarray,
+    k: int,
+    sig_len: int = 9,
+    lut_len: int | None = None,
+    counter_size: int = 4,
+    both_strands: bool = True,
+    min_count: int = 1,
+    max_count: int = 1_000_000_000,
+    mode: int = 0,
+):
+    """Write a KMC3-format database readable by both this package and the
+    reference Java implementation.
+
+    ``kmers`` must be unique packed k-mers (canonical if both_strands).
+    """
+    kmers = np.asarray(kmers, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.uint64)
+    if lut_len is None:
+        lut_len = choose_lut_prefix_length(k)
+    suffix_len = k - lut_len
+    if suffix_len % 4 != 0:
+        raise ValueError("k - lut_prefix_length must be divisible by 4")
+    n = kmers.shape[0]
+
+    sigs = (
+        kmer_signatures(kmers, k, sig_len)
+        if n
+        else np.empty(0, np.uint32)
+    )
+    uniq_sigs = np.unique(sigs)
+    nbins = max(1, len(uniq_sigs))
+    sig_map = np.zeros((1 << (2 * sig_len)) + 1, dtype=np.uint32)
+    bin_of_sig = {int(s): i for i, s in enumerate(uniq_sigs)}
+    sig_map[uniq_sigs.astype(np.int64)] = np.arange(len(uniq_sigs), dtype=np.uint32)
+
+    bins = (
+        np.array([bin_of_sig[int(s)] for s in sigs], dtype=np.uint64)
+        if n
+        else np.empty(0, np.uint64)
+    )
+    order = np.lexsort((kmers, bins))
+    kmers_s = kmers[order]
+    counts_s = counts[order]
+    bins_s = bins[order]
+
+    lut_size = 1 << (2 * lut_len)
+    prefix_of = kmers_s >> np.uint64(2 * suffix_len)
+    keys = bins_s * np.uint64(lut_size) + prefix_of
+    prefix_array = np.searchsorted(
+        keys, np.arange(nbins * lut_size, dtype=np.uint64)
+    ).astype("<u8")
+
+    # records
+    suf_bytes = suffix_len // 4
+    suffix_vals = kmers_s & np.uint64((1 << (2 * suffix_len)) - 1)
+    rec = np.zeros((n, suf_bytes + counter_size), dtype=np.uint8)
+    for j in range(suf_bytes):
+        shift = np.uint64(8 * (suf_bytes - 1 - j))
+        rec[:, j] = (suffix_vals >> shift) & np.uint64(0xFF)
+    for j in range(counter_size):
+        rec[:, suf_bytes + j] = (counts_s >> np.uint64(8 * j)) & np.uint64(0xFF)
+
+    header = struct.pack(
+        "<7iq",
+        k,
+        mode,
+        counter_size,
+        lut_len,
+        sig_len,
+        min_count,
+        max_count,
+        n,
+    )
+    header += bytes([0 if both_strands else 1, 0, 0, 0])
+    header += b"\x00" * 24
+    header += struct.pack("<i", 0x200)
+    assert len(header) == _HEADER_BYTES
+
+    with open(db_prefix + ".kmc_pre", "wb") as fh:
+        fh.write(b"KMCP")
+        fh.write(prefix_array.tobytes())
+        fh.write(struct.pack("<q", n))  # guard
+        fh.write(sig_map.astype("<u4").tobytes())
+        fh.write(header)
+        fh.write(struct.pack("<i", _HEADER_BYTES))
+        fh.write(b"KMCP")
+
+    with open(db_prefix + ".kmc_suf", "wb") as fh:
+        fh.write(b"KMCS")
+        fh.write(rec.tobytes())
+        fh.write(b"KMCS")

@@ -1,0 +1,60 @@
+"""Device mesh construction and k-mer table sharding.
+
+The reference's only parallelism is a shared-memory thread pool over
+windows with one shared in-RAM KMC table (Plugins/GetVariants.java:
+129-159, Data/KMC.java:69-75). The TPU-native equivalents:
+
+* ``data`` axis: window batches are sharded across chips (the analog of
+  the thread pool) - pure data parallelism, no communication beyond the
+  host gather of per-window scalars.
+* ``table`` axis: for k-mer tables larger than one chip's HBM, buckets
+  are sharded across chips; queries are all-gathered over the table axis
+  and per-shard partial counts are reduce-scattered back (a k-mer's
+  bucket lives on exactly one shard, so the sum over shards is exact).
+
+Multi-host: ``init_distributed`` wraps jax.distributed; the same mesh
+code spans hosts (ICI within a slice, DCN across).
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.logger import Logger
+
+_CLASS = "Mesh"
+
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Multi-host init (no-op when single-process)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(data: int = None, table: int = 1, devices=None) -> Mesh:
+    """2D mesh over (data, table). Defaults: all devices on data axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None:
+        data = n // table
+    if data * table != n:
+        Logger.error(_CLASS, f"mesh {data}x{table} != {n} devices")
+    return Mesh(devices.reshape(data, table), ("data", "table"))
+
+
+def replicate_table(table, mesh: Mesh):
+    """Replicate table arrays on every device (small-table path)."""
+    sharding = NamedSharding(mesh, P())
+    return tuple(
+        jax.device_put(x, sharding) for x in (table.hi, table.lo, table.counts)
+    )
+
+
+def shard_table(table, mesh: Mesh):
+    """Shard table buckets across the 'table' axis. Bucket index bits are
+    preserved: shard s owns buckets [s*nb/T, (s+1)*nb/T); lookups mask
+    out non-owned buckets so a cross-shard sum is exact."""
+    sharding = NamedSharding(mesh, P("table", None))
+    return tuple(
+        jax.device_put(x, sharding) for x in (table.hi, table.lo, table.counts)
+    )

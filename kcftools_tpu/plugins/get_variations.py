@@ -1,0 +1,258 @@
+"""getVariations: screen reference k-mers against a KMC database and emit
+a single-sample KCF.
+
+The reference's per-window thread pool (Plugins/GetVariants.java:129-159)
+becomes batched device execution: whole chromosomes are 2-bit encoded
+once, windows are gathered into padded (B, Lp) batches and scored by the
+jitted pipeline (engine.pipeline). Output ordering matches the
+reference: FASTA sequence order, windows sorted by start within each
+sequence (GetVariants.java:168-179).
+"""
+
+import numpy as np
+
+from ..engine.hashtable import build_table
+from ..engine.pipeline import PAD_MARGIN, WindowScorer
+from ..engine.windows import (
+    batch_subsequences,
+    bucket_pad_len,
+    pad_batch_varlen,
+    sliding_windows,
+    tiling_windows,
+)
+from ..io.fasta import FastaIndex
+from ..io.gtf import GTF
+from ..io.kcf import KCFHeader, KCFWriter, WindowBlock
+from ..io.kmc import KMCReader
+from ..utils.logger import Logger
+from ._common import clean_sample_name, get_command_line
+
+_CLASS = "GetVariants"
+
+# target number of base positions per device batch
+_BATCH_POSITIONS = 1 << 22
+
+
+def add_parser(subparsers):
+    p = subparsers.add_parser(
+        "getVariations",
+        help="Screen for reference kmers that are not present in the KMC "
+        "database, and detect variation",
+    )
+    p.add_argument("-r", "--reference", required=True, help="Reference file name")
+    p.add_argument("-k", "--kmc", required=True, help="KMC database prefix")
+    p.add_argument("-o", "--output", required=True, help="Output file name")
+    p.add_argument("-s", "--sample", required=True, help="Sample name")
+    p.add_argument(
+        "-f",
+        "--feature",
+        required=True,
+        help='Feature type ("window" or "gene" or "transcript")',
+    )
+    p.add_argument("-t", "--threads", type=int, default=2, help="Number of threads")
+    p.add_argument(
+        "-m",
+        "--memory",
+        action="store_true",
+        help="Load KMC database into memory (always on in this implementation)",
+    )
+    p.add_argument("--wi", type=float, default=0.3, help="Inner kmer distance weight")
+    p.add_argument("--wt", type=float, default=0.3, help="Tail kmer distance weight")
+    p.add_argument("--wr", type=float, default=0.4, help="Kmer ratio weight")
+    p.add_argument("-w", "--window", type=int, default=0, help="Window size")
+    p.add_argument("-g", "--gtf", default=None, help="GTF file name")
+    p.add_argument(
+        "-c", "--min-k-count", type=int, default=1, help="Minimum kmer count"
+    )
+    p.add_argument(
+        "-p", "--step", type=int, default=0, help="Step size for sliding window"
+    )
+    p.set_defaults(func=run)
+    return p
+
+
+def _validate(args):
+    if args.feature == "window":
+        if args.window <= 0:
+            Logger.error(_CLASS, "Window size is required for window model")
+        if args.gtf:
+            Logger.error(_CLASS, "GTF file is not valid for window model")
+    elif args.feature in ("gene", "transcript"):
+        if not args.gtf:
+            Logger.error(_CLASS, "GTF file is required for targeted model")
+        if args.window > 0:
+            Logger.error(_CLASS, "Window size is not valid for targeted model")
+    else:
+        Logger.error(
+            _CLASS,
+            f"Invalid model type: {args.feature}. Supported models are "
+            "'window' or 'gene' or 'transcript'",
+        )
+    if args.threads <= 0:
+        Logger.error(_CLASS, "Number of threads should be greater than 0")
+    if args.min_k_count < 1:
+        Logger.error(_CLASS, "Minimum kmer count should be at least 1")
+
+
+def run(args):
+    _validate(args)
+    sample = clean_sample_name(args.sample, _CLASS)
+
+    kmc = KMCReader(args.kmc)
+    k = kmc.kmer_length
+    table = build_table(kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands)
+    scorer = WindowScorer(table, min_count=args.min_k_count)
+
+    header = KCFHeader()
+    header.reference = args.reference
+    header.add_command_line(get_command_line())
+    header.add_sample(sample)
+    header.window_size = args.window
+    header.step_size = args.step
+    header.kmer_size = k
+    header.is_ibs = False
+    header.set_weights(args.wi, args.wt, args.wr)
+    weights = (args.wi, args.wt, args.wr)
+
+    index = FastaIndex(args.reference)
+    gtf = GTF(args.gtf) if args.feature in ("gene", "transcript") else None
+
+    Logger.info(_CLASS, "Generating windows...")
+    blocks = []
+    total_windows = 0
+    for name in index.get_sequence_names():
+        header.add_contig(name, index.get_sequence_length(name))
+        if args.feature == "window":
+            block = _score_fixed_windows(args, index, name, k, scorer, sample)
+        else:
+            block = _score_feature_windows(args, index, gtf, name, k, scorer, sample)
+        if block is not None and len(block) > 0:
+            # reference sorts each chromosome's windows by start
+            order = np.argsort(block.start, kind="stable")
+            blocks.append(block.select(order))
+            total_windows += len(block)
+
+    Logger.info(_CLASS, f"Number of windows: {total_windows}")
+    header.window_count = total_windows
+
+    with KCFWriter(args.output) as writer:
+        writer.write_header(header)
+        for block in blocks:
+            block.finalize(weights)
+            writer.write_block(block)
+    Logger.info(_CLASS, f"Wrote {total_windows} windows to {args.output}")
+
+
+def _make_block(sample, name, starts, ends, ids, res, k):
+    n = len(starts)
+    block = WindowBlock(n, [sample])
+    block.seq_names = [name] * n if isinstance(name, str) else list(name)
+    block.start = np.asarray(starts, np.int64)
+    block.end = np.asarray(ends, np.int64)
+    block.window_id = list(ids)
+    block.total_kmers = res["total"].astype(np.int64)
+    block.eff_length = res["eff_length"].astype(np.int64)
+    block.ob[0] = res["observed"]
+    block.va[0] = res["variations"]
+    block.inner[0] = res["inner"]
+    block.left[0] = res["left"]
+    block.right[0] = res["right"]
+    block.kmer_count[0] = res["count_sum"].astype(np.int64)
+    return block
+
+
+def _score_fixed_windows(args, index, name, k, scorer, sample):
+    seq_len = index.get_sequence_length(name)
+    if args.step > 0:
+        starts, ends = sliding_windows(seq_len, args.window, args.step, k)
+    else:
+        starts, ends = tiling_windows(seq_len, args.window, k)
+    if len(starts) == 0:
+        return None
+    codes, valid = index.sequence_codes(name)
+    pad_len = args.window + PAD_MARGIN
+    bsz = max(1, _BATCH_POSITIONS // pad_len)
+    results = []
+    for off in range(0, len(starts), bsz):
+        s = starts[off : off + bsz]
+        e = ends[off : off + bsz]
+        bcodes, bvalid, win_len = batch_subsequences(codes, valid, s, e, pad_len)
+        # pad batch to full size so the jit sees one (B, Lp) shape
+        if len(s) < bsz:
+            padn = bsz - len(s)
+            bcodes = np.vstack([bcodes, np.zeros((padn, pad_len), np.uint32)])
+            bvalid = np.vstack([bvalid, np.zeros((padn, pad_len), bool)])
+            win_len = np.concatenate([win_len, np.zeros(padn, np.int32)])
+        res = scorer.score_batch(bcodes, bvalid, win_len)
+        results.append({key: v[: len(s)] for key, v in res.items()})
+    res = {key: np.concatenate([r[key] for r in results]) for key in results[0]}
+    ids = [f"{name}_{s}" for s in starts]
+    return _make_block(sample, name, starts, ends, ids, res, k)
+
+
+def _score_feature_windows(args, index, gtf, name, k, scorer, sample):
+    is_gene = args.feature == "gene"
+    feats = []  # (window_id, chrom, start, end)
+    genes = gtf.get_genes(name)
+    if not genes and not is_gene:
+        Logger.warning(
+            _CLASS, f"No genes found in GTF file for sequence: {name}"
+        )
+    for gene in genes:
+        if is_gene:
+            chrom, start, end, _ = gtf.get_loci(gene)
+            feats.append((gene, chrom, start, end))
+        else:
+            transcripts = gtf.get_transcripts(gene)
+            if not transcripts:
+                Logger.error(
+                    _CLASS,
+                    f"No transcripts found for gene: {gene} in GTF file for "
+                    f"sequence: {name}",
+                )
+            for tr in transcripts:
+                chrom, start, end, _ = gtf.get_loci(tr)
+                feats.append((tr, chrom, start, end))
+    if not feats:
+        return None
+
+    # splice and bucket by padded length
+    spliced = []
+    for wid, chrom, start, end in feats:
+        cv = gtf.spliced_codes(wid, index, is_gene)
+        if cv is None:
+            Logger.error(_CLASS, f"Fasta object is null for window: {wid}")
+        spliced.append(cv)
+
+    buckets = {}
+    for i, (c, _v) in enumerate(spliced):
+        buckets.setdefault(bucket_pad_len(len(c), k), []).append(i)
+
+    res_all = {}
+    for pad_len, idxs in buckets.items():
+        bsz = max(1, _BATCH_POSITIONS // pad_len)
+        for off in range(0, len(idxs), bsz):
+            part = idxs[off : off + bsz]
+            bcodes, bvalid, win_len = pad_batch_varlen(
+                [spliced[i][0] for i in part],
+                [spliced[i][1] for i in part],
+                pad_len,
+            )
+            if len(part) < bsz:
+                padn = bsz - len(part)
+                bcodes = np.vstack([bcodes, np.zeros((padn, pad_len), np.uint32)])
+                bvalid = np.vstack([bvalid, np.zeros((padn, pad_len), bool)])
+                win_len = np.concatenate([win_len, np.zeros(padn, np.int32)])
+            res = scorer.score_batch(bcodes, bvalid, win_len)
+            for j, i in enumerate(part):
+                res_all[i] = {key: v[j] for key, v in res.items()}
+
+    res = {
+        key: np.array([res_all[i][key] for i in range(len(feats))])
+        for key in next(iter(res_all.values()))
+    }
+    ids = [f[0] for f in feats]
+    chroms = [f[1] for f in feats]
+    starts = [f[2] for f in feats]
+    ends = [f[3] for f in feats]
+    return _make_block(sample, chroms, starts, ends, ids, res, k)

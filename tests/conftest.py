@@ -1,0 +1,21 @@
+import os
+
+# Must run before jax import: tests run on a virtual 8-device CPU mesh so
+# sharding paths are exercised without TPU hardware. Force CPU even when
+# the ambient environment points JAX at a (remote) TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from kcftools_tpu.utils.logger import Logger  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,59 @@
+import numpy as np
+
+from kcftools_tpu.engine.encode import str_to_kmer
+from kcftools_tpu.io.kmc import KMCReader, kmer_signatures, write_kmc_db
+
+from .gen import db_from_seqs, random_seq
+
+
+def test_roundtrip(tmp_path, rng):
+    k = 31
+    n = 5000
+    kmers = np.unique(
+        rng.integers(0, 1 << 62, size=n, dtype=np.uint64)
+        & np.uint64((1 << (2 * k)) - 1)
+    )
+    counts = rng.integers(1, 1000, size=kmers.size, dtype=np.uint64)
+    prefix = str(tmp_path / "db")
+    write_kmc_db(prefix, kmers, counts, k, sig_len=9)
+    r = KMCReader(prefix)
+    assert r.kmer_length == k
+    assert r.total_kmers == kmers.size
+    assert r.both_strands
+    # reader returns records sorted by (signature bin, kmer); compare sets
+    order = np.argsort(r.kmers)
+    korder = np.argsort(kmers)
+    np.testing.assert_array_equal(r.kmers[order], kmers[korder])
+    np.testing.assert_array_equal(r.counts[order], counts[korder])
+
+
+def test_roundtrip_small_k(tmp_path, rng):
+    k = 13
+    kmers = np.unique(rng.integers(0, 1 << (2 * k), size=300, dtype=np.uint64))
+    counts = np.full(kmers.size, 7, dtype=np.uint64)
+    prefix = str(tmp_path / "db13")
+    write_kmc_db(prefix, kmers, counts, k, sig_len=9)
+    r = KMCReader(prefix)
+    np.testing.assert_array_equal(np.sort(r.kmers), kmers)
+    assert (r.counts == 7).all()
+
+
+def test_db_from_seqs_counts(tmp_path, rng):
+    k = 15
+    seq = random_seq(rng, 2000)
+    prefix = str(tmp_path / "seqdb")
+    db = db_from_seqs(prefix, [seq], k)
+    r = KMCReader(prefix)
+    assert r.total_kmers == len(db)
+    got = {int(v): int(c) for v, c in zip(r.kmers, r.counts)}
+    for s, c in db.items():
+        assert got[str_to_kmer(s)] == c
+
+
+def test_signatures_monotone_properties():
+    k, m = 21, 9
+    kmers = np.array([str_to_kmer("A" * 21), str_to_kmer("ACGT" * 5 + "A")], np.uint64)
+    sigs = kmer_signatures(kmers, k, m)
+    # poly-A has only disallowed m-mers -> sentinel
+    assert sigs[0] == (1 << (2 * m))
+    assert sigs[1] < (1 << (2 * m))
