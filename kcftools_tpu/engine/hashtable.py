@@ -46,11 +46,12 @@ def _fmix32(h):
 def bucket_hashes_np(hi, lo, n_buckets: int):
     """The two candidate bucket indices of each (hi, lo) key. Must stay
     bit-identical with ops.lookup.bucket_hashes_jnp."""
-    hi = np.asarray(hi, np.uint32)
-    lo = np.asarray(lo, np.uint32)
+    hi = np.atleast_1d(np.asarray(hi, np.uint32))
+    lo = np.atleast_1d(np.asarray(lo, np.uint32))
     mask = np.uint32(n_buckets - 1)
-    h1 = _fmix32(hi * _C1A + lo * _C1B + np.uint32(0xA5A5A5A5)) & mask
-    h2 = _fmix32(hi * _C2A + lo * _C2B + np.uint32(0x3C6EF372)) & mask
+    with np.errstate(over="ignore"):
+        h1 = _fmix32(hi * _C1A + lo * _C1B + np.uint32(0xA5A5A5A5)) & mask
+        h2 = _fmix32(hi * _C2A + lo * _C2B + np.uint32(0x3C6EF372)) & mask
     return h1, h2
 
 
@@ -111,7 +112,11 @@ def build_table(
 
     nb = _next_pow2(max(2, int(np.ceil(n / (BUCKET_SLOTS * load_factor)))))
     while True:
-        table = _try_build(hi, lo, counts, nb)
+        from ..native import build_table_native
+
+        table = build_table_native(hi, lo, counts, nb)
+        if table is None:
+            table = _try_build(hi, lo, counts, nb)
         if table is not None:
             t_hi, t_lo, t_cnt = table
             Logger.info(
@@ -161,10 +166,40 @@ def _try_build(hi, lo, counts, nb):
         t_cnt[rows, cols] = counts[src]
         np.add.at(fill, rows, 1)
         remaining = remaining[order][~placed]
-        # keys whose both buckets are full can never place in later rounds
-        stuck = (fill[b1[remaining]] >= BUCKET_SLOTS) & (
+        # keys whose both buckets are full need cuckoo eviction; the
+        # vectorized rounds leave only a tiny tail (<<0.1%), so a scalar
+        # random-walk is fine
+        stuck_mask = (fill[b1[remaining]] >= BUCKET_SLOTS) & (
             fill[b2[remaining]] >= BUCKET_SLOTS
         )
-        if stuck.any():
-            return None
+        if stuck_mask.any():
+            stuck = remaining[stuck_mask]
+            remaining = remaining[~stuck_mask]
+            if not _evict_place(hi, lo, counts, t_hi, t_lo, t_cnt, fill, stuck, nb):
+                return None
     return None
+
+
+def _evict_place(hi, lo, counts, t_hi, t_lo, t_cnt, fill, stuck, nb):
+    """Cuckoo random-walk placement for keys whose two buckets are full."""
+    rng = np.random.default_rng(0xC0FFEE)
+    for idx in stuck:
+        cur = (np.uint32(hi[idx]), np.uint32(lo[idx]), np.uint32(counts[idx]))
+        b = int(bucket_hashes_np(cur[0], cur[1], nb)[0])
+        ok = False
+        for _step in range(2000):
+            if fill[b] < BUCKET_SLOTS:
+                slot = fill[b]
+                t_hi[b, slot], t_lo[b, slot], t_cnt[b, slot] = cur
+                fill[b] += 1
+                ok = True
+                break
+            victim = int(rng.integers(0, BUCKET_SLOTS))
+            vkey = (t_hi[b, victim], t_lo[b, victim], t_cnt[b, victim])
+            t_hi[b, victim], t_lo[b, victim], t_cnt[b, victim] = cur
+            cur = vkey
+            v1, v2 = bucket_hashes_np(cur[0], cur[1], nb)
+            b = int(v2) if int(v1) == b else int(v1)
+        if not ok:
+            return False
+    return True

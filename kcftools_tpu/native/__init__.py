@@ -1,0 +1,95 @@
+"""ctypes loader for the native host tier (C++), with on-demand
+compilation and graceful numpy fallback.
+
+The shared library is compiled once per machine into the package
+directory (or $KCFTOOLS_NATIVE_DIR); failures fall back to the
+vectorized numpy implementations.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..utils.logger import Logger
+
+_CLASS = "Native"
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "kcf_native.cpp")
+_LIB_DIR = os.environ.get("KCFTOOLS_NATIVE_DIR", _DIR)
+_LIB = os.path.join(_LIB_DIR, "libkcfnative.so")
+
+_lib = None
+_tried = False
+
+
+def _compile():
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _LIB,
+        _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Return the loaded native library, or None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_LIB)) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            _compile()
+        lib = ctypes.CDLL(_LIB)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.kcf_build_table.restype = ctypes.c_int
+        lib.kcf_build_table.argtypes = [u32p] * 3 + [ctypes.c_int64] + [u32p] * 3 + [
+            ctypes.c_int64
+        ]
+        lib.kcf_lookup.restype = None
+        lib.kcf_lookup.argtypes = [u32p, u32p, ctypes.c_int64] + [u32p] * 3 + [
+            ctypes.c_int64,
+            u32p,
+        ]
+        lib.kcf_encode_bases.restype = None
+        lib.kcf_encode_bases.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+        _lib = lib
+    except Exception as e:  # pragma: no cover - environment dependent
+        Logger.warning(_CLASS, f"native library unavailable ({e}); using numpy")
+        _lib = None
+    return _lib
+
+
+def _u32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def build_table_native(hi, lo, counts, nb):
+    """Returns (t_hi, t_lo, t_cnt) or None on overflow / no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = hi.shape[0]
+    t_hi = np.zeros((nb, 8), np.uint32)
+    t_lo = np.zeros((nb, 8), np.uint32)
+    t_cnt = np.zeros((nb, 8), np.uint32)
+    hi = np.ascontiguousarray(hi, np.uint32)
+    lo = np.ascontiguousarray(lo, np.uint32)
+    counts = np.ascontiguousarray(counts, np.uint32)
+    rc = lib.kcf_build_table(
+        _u32p(hi), _u32p(lo), _u32p(counts), n,
+        _u32p(t_hi), _u32p(t_lo), _u32p(t_cnt), nb,
+    )
+    if rc != 0:
+        return None
+    return t_hi, t_lo, t_cnt

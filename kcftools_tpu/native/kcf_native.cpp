@@ -1,0 +1,157 @@
+// Native host tier: hash-table construction (and friends) for the
+// kcftools-tpu engine.
+//
+// The reference implementation has no native code at all (pure Java;
+// see SURVEY.md §2.4) - this tier exists because the rebuilt engine
+// front-loads all host work (KMC ingest -> device table build) so the
+// TPU pipeline runs at full speed. The builder is a sequential
+// two-choice bucketed cuckoo insert: each key goes to the emptier of
+// its two candidate buckets (8 slots each); when both are full a
+// bounded random-walk eviction makes room. The hash functions MUST stay
+// bit-identical with engine/hashtable.py::bucket_hashes_np and
+// ops/lookup.py::bucket_hashes_jnp.
+//
+// Build: g++ -O3 -shared -fPIC -o libkcfnative.so kcf_native.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int BUCKET_SLOTS = 8;
+
+inline uint32_t fmix32(uint32_t h) {
+  h ^= h >> 16;
+  h *= 0x85EBCA6Bu;
+  h ^= h >> 13;
+  h *= 0xC2B2AE35u;
+  h ^= h >> 16;
+  return h;
+}
+
+inline uint32_t hash1(uint32_t hi, uint32_t lo, uint32_t mask) {
+  return fmix32(hi * 0x9E3779B1u + lo * 0x85EBCA77u + 0xA5A5A5A5u) & mask;
+}
+
+inline uint32_t hash2(uint32_t hi, uint32_t lo, uint32_t mask) {
+  return fmix32(hi * 0xC2B2AE3Du + lo * 0x27D4EB2Fu + 0x3C6EF372u) & mask;
+}
+
+struct XorShift {
+  uint64_t s;
+  explicit XorShift(uint64_t seed) : s(seed ? seed : 0x9E3779B97F4A7C15ull) {}
+  uint32_t next() {
+    s ^= s << 13;
+    s ^= s >> 7;
+    s ^= s << 17;
+    return static_cast<uint32_t>(s);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, -1 when an eviction walk exceeds its budget
+// (caller should grow the table and retry).
+int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
+                    const uint32_t* counts, int64_t n, uint32_t* t_hi,
+                    uint32_t* t_lo, uint32_t* t_cnt, int64_t nb) {
+  const uint32_t mask = static_cast<uint32_t>(nb - 1);
+  std::vector<uint8_t> fill(static_cast<size_t>(nb), 0);
+  std::memset(t_cnt, 0, sizeof(uint32_t) * static_cast<size_t>(nb) * BUCKET_SLOTS);
+  XorShift rng(0xC0FFEEULL);
+
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t khi = hi[i], klo = lo[i], kc = counts[i];
+    uint32_t b1 = hash1(khi, klo, mask);
+    uint32_t b2 = hash2(khi, klo, mask);
+    uint32_t b = (fill[b1] <= fill[b2]) ? b1 : b2;
+    if (fill[b] < BUCKET_SLOTS) {
+      int64_t at = static_cast<int64_t>(b) * BUCKET_SLOTS + fill[b];
+      t_hi[at] = khi;
+      t_lo[at] = klo;
+      t_cnt[at] = kc;
+      ++fill[b];
+      continue;
+    }
+    // both candidate buckets full -> random-walk eviction
+    bool placed = false;
+    for (int step = 0; step < 4000; ++step) {
+      int slot = static_cast<int>(rng.next() & (BUCKET_SLOTS - 1));
+      int64_t at = static_cast<int64_t>(b) * BUCKET_SLOTS + slot;
+      uint32_t vhi = t_hi[at], vlo = t_lo[at], vc = t_cnt[at];
+      t_hi[at] = khi;
+      t_lo[at] = klo;
+      t_cnt[at] = kc;
+      khi = vhi;
+      klo = vlo;
+      kc = vc;
+      uint32_t v1 = hash1(khi, klo, mask);
+      uint32_t v2 = hash2(khi, klo, mask);
+      b = (v1 == b) ? v2 : v1;
+      if (fill[b] < BUCKET_SLOTS) {
+        int64_t at2 = static_cast<int64_t>(b) * BUCKET_SLOTS + fill[b];
+        t_hi[at2] = khi;
+        t_lo[at2] = klo;
+        t_cnt[at2] = kc;
+        ++fill[b];
+        placed = true;
+        break;
+      }
+    }
+    if (!placed) return -1;
+  }
+  return 0;
+}
+
+// Batched host-side lookup (CPU fallback path / verification).
+void kcf_lookup(const uint32_t* qhi, const uint32_t* qlo, int64_t n,
+                const uint32_t* t_hi, const uint32_t* t_lo,
+                const uint32_t* t_cnt, int64_t nb, uint32_t* out) {
+  const uint32_t mask = static_cast<uint32_t>(nb - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t hi = qhi[i], lo = qlo[i];
+    uint32_t b1 = hash1(hi, lo, mask);
+    uint32_t b2 = hash2(hi, lo, mask);
+    uint32_t r = 0;
+    for (int s = 0; s < BUCKET_SLOTS; ++s) {
+      int64_t at = static_cast<int64_t>(b1) * BUCKET_SLOTS + s;
+      if (t_hi[at] == hi && t_lo[at] == lo && t_cnt[at] != 0) r = t_cnt[at];
+    }
+    if (b2 != b1) {
+      for (int s = 0; s < BUCKET_SLOTS; ++s) {
+        int64_t at = static_cast<int64_t>(b2) * BUCKET_SLOTS + s;
+        if (t_hi[at] == hi && t_lo[at] == lo && t_cnt[at] != 0) r = t_cnt[at];
+      }
+    }
+    out[i] = r;
+  }
+}
+
+// 2-bit pack + validity for a byte sequence (ACGT/acgt -> 0..3).
+void kcf_encode_bases(const uint8_t* seq, int64_t n, uint8_t* codes,
+                      uint8_t* valid) {
+  static uint8_t code_lut[256];
+  static uint8_t valid_lut[256];
+  static bool init = false;
+  if (!init) {
+    std::memset(code_lut, 0, sizeof(code_lut));
+    std::memset(valid_lut, 0, sizeof(valid_lut));
+    const char* b = "ACGT";
+    for (int i = 0; i < 4; ++i) {
+      code_lut[static_cast<uint8_t>(b[i])] = static_cast<uint8_t>(i);
+      code_lut[static_cast<uint8_t>(b[i] + 32)] = static_cast<uint8_t>(i);
+      valid_lut[static_cast<uint8_t>(b[i])] = 1;
+      valid_lut[static_cast<uint8_t>(b[i] + 32)] = 1;
+    }
+    init = true;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    codes[i] = code_lut[seq[i]];
+    valid[i] = valid_lut[seq[i]];
+  }
+}
+
+}  // extern "C"

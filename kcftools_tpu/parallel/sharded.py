@@ -1,0 +1,166 @@
+"""Multi-device window scoring via shard_map over a (data, table) mesh.
+
+Window batches are sharded along ``data`` (each chip scores its own
+windows - the analog of the reference's thread pool). The k-mer table is
+sharded along ``table``: every key's bucket lives on exactly one shard,
+so each shard computes partial counts for the queries it can see
+(buckets it owns; zeros elsewhere) and a ``psum`` over the table axis
+yields exact global counts. Arrays sharded only along ``data`` are
+replicated along ``table``, so no explicit query routing is needed
+within a slice - the psum rides ICI.
+
+On one chip this degenerates to the plain WindowScorer; on N chips with
+a replicated table it is pure data parallelism (no collectives at all).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..engine.pipeline import score_windows_core
+from ..ops.lookup import bucket_hashes_jnp
+
+try:  # modern jax
+    from jax import shard_map
+except ImportError:  # older fallback
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def _sharded_lookup(hi, lo, t_hi, t_lo, t_cnt, nb_total, axis="table"):
+    """Lookup against the local bucket shard; caller psums over `axis`.
+
+    t_* are local shards of shape (nb_local, 8) holding global buckets
+    [shard*nb_local, (shard+1)*nb_local)."""
+    nb_local = t_hi.shape[0]
+    my = jax.lax.axis_index(axis)
+    base = my.astype(jnp.uint32) * jnp.uint32(nb_local)
+    h1, h2 = bucket_hashes_jnp(hi, lo, nb_total)
+    out = jnp.zeros(hi.shape, jnp.uint32)
+    for b, dedup in ((h1, None), (h2, h2 != h1)):
+        local = b - base
+        owned = local < jnp.uint32(nb_local)  # uint wrap makes this a range test
+        safe = jnp.where(owned, local, 0).astype(jnp.int32)
+        rows_hi = t_hi[safe]
+        rows_lo = t_lo[safe]
+        rows_cnt = t_cnt[safe]
+        match = (
+            (rows_hi == hi[..., None])
+            & (rows_lo == lo[..., None])
+            & (rows_cnt != 0)
+            & owned[..., None]
+        )
+        contrib = jnp.sum(
+            jnp.where(match, rows_cnt, jnp.uint32(0)), axis=-1, dtype=jnp.uint32
+        )
+        if dedup is not None:
+            contrib = jnp.where(dedup, contrib, jnp.uint32(0))
+        out = out + contrib
+    return out
+
+
+def make_sharded_scorer(mesh, *, k, min_count, both_strands, nb_total):
+    """Build a jitted shard_map scoring function over `mesh`.
+
+    Inputs: codes (B, Lp) uint32, valid (B, Lp) bool, win_len (B,) int32,
+    sharded along 'data'; table arrays (nb_total, 8) sharded along
+    'table'. B must be divisible by the data-axis size."""
+
+    def local_fn(codes, valid, win_len, t_hi, t_lo, t_cnt):
+        def lookup(hi, lo):
+            partial = _sharded_lookup(hi, lo, t_hi, t_lo, t_cnt, nb_total)
+            return jax.lax.psum(partial, "table")
+
+        return score_windows_core(
+            codes,
+            valid,
+            win_len,
+            lookup,
+            k=k,
+            min_count=min_count,
+            both_strands=both_strands,
+        )
+
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("data", None),
+            P("data", None),
+            P("data"),
+            P("table", None),
+            P("table", None),
+            P("table", None),
+        ),
+        out_specs={
+            key: P("data")
+            for key in (
+                "total",
+                "observed",
+                "variations",
+                "inner",
+                "left",
+                "right",
+                "count_sum",
+                "eff_length",
+            )
+        },
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+class ShardedWindowScorer:
+    """Device-mesh version of engine.pipeline.WindowScorer."""
+
+    def __init__(self, table, mesh, min_count: int = 1):
+        self.k = table.k
+        self.min_count = int(min_count)
+        self.both_strands = table.both_strands
+        self.mesh = mesh
+        self.data_parallel = mesh.shape["data"]
+        tspec = NamedSharding(mesh, P("table", None))
+        t_axis = mesh.shape["table"]
+        nb = table.hi.shape[0]
+        # the bucket-ownership arithmetic needs the power-of-two bucket
+        # count split evenly across the table axis
+        if nb % t_axis:
+            raise ValueError(f"table axis {t_axis} must divide bucket count {nb}")
+        self.nb_total = nb
+        self.t_hi = jax.device_put(table.hi, tspec)
+        self.t_lo = jax.device_put(table.lo, tspec)
+        self.t_cnt = jax.device_put(table.counts, tspec)
+        self._fns = {}
+        self._dspec = NamedSharding(mesh, P("data", None))
+        self._dspec1 = NamedSharding(mesh, P("data"))
+
+    def _fn(self, Lp):
+        if Lp not in self._fns:
+            self._fns[Lp] = make_sharded_scorer(
+                self.mesh,
+                k=self.k,
+                min_count=self.min_count,
+                both_strands=self.both_strands,
+                nb_total=self.nb_total,
+            )
+        return self._fns[Lp]
+
+    def score_batch(self, codes, valid, win_len):
+        B = codes.shape[0]
+        d = self.data_parallel
+        padn = (-B) % d
+        if padn:
+            codes = np.vstack([codes, np.zeros((padn, codes.shape[1]), codes.dtype)])
+            valid = np.vstack([valid, np.zeros((padn, valid.shape[1]), bool)])
+            win_len = np.concatenate([win_len, np.zeros(padn, win_len.dtype)])
+        out = self._fn(codes.shape[1])(
+            jax.device_put(jnp.asarray(codes, jnp.uint32), self._dspec),
+            jax.device_put(jnp.asarray(valid, bool), self._dspec),
+            jax.device_put(jnp.asarray(win_len, jnp.int32), self._dspec1),
+            self.t_hi,
+            self.t_lo,
+            self.t_cnt,
+        )
+        return {key: np.asarray(v)[:B] for key, v in out.items()}
