@@ -128,6 +128,35 @@ def score_windows_core(
     }
 
 
+FIELDS = (
+    "total",
+    "observed",
+    "variations",
+    "inner",
+    "left",
+    "right",
+    "count_sum",
+    "eff_length",
+)
+
+# sentinel code for non-ACGT / out-of-window positions in uint8 inputs
+SENTINEL = np.uint8(4)
+
+
+def _stack_results(res):
+    """Pack the result dict into one (8, B) float64 array so a batch
+    costs a single device->host readback (all fields < 2^53, exact)."""
+    return jnp.stack([res[f].astype(jnp.float64) for f in FIELDS])
+
+
+def _unstack(arr: np.ndarray):
+    out = {}
+    for i, f in enumerate(FIELDS):
+        col = arr[i]
+        out[f] = col if f == "count_sum" else col.astype(np.int64)
+    return out
+
+
 def score_windows_device(
     codes, valid, win_len, t_hi, t_lo, t_cnt, *, k: int, min_count: int,
     both_strands: bool
@@ -144,8 +173,58 @@ def score_windows_device(
     )
 
 
+def _score_u8_batch(u8, win_len, t_hi, t_lo, t_cnt, *, k, min_count, both_strands):
+    """u8: (B, Lp) uint8 codes with SENTINEL marking invalid positions."""
+    valid = u8 < SENTINEL
+    codes = jnp.where(valid, u8, jnp.uint8(0)).astype(jnp.uint32)
+    res = score_windows_core(
+        codes,
+        valid,
+        win_len,
+        lambda hi, lo: table_lookup(hi, lo, t_hi, t_lo, t_cnt),
+        k=k,
+        min_count=min_count,
+        both_strands=both_strands,
+    )
+    return _stack_results(res)
+
+
+def _score_chunk(chunk_u8, starts, win_len, t_hi, t_lo, t_cnt, *, Lp, k,
+                 min_count, both_strands):
+    """chunk_u8: (C,) uint8 sentinel codes of a chromosome chunk; windows
+    are gathered on device, so the host uploads each base once."""
+    B = starts.shape[0]
+    idx = starts[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+    idx = jnp.minimum(idx, chunk_u8.shape[0] - 1)
+    u8 = chunk_u8[idx]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
+    u8 = jnp.where(pos < win_len[:, None], u8, SENTINEL)
+    valid = u8 < SENTINEL
+    codes = jnp.where(valid, u8, jnp.uint8(0)).astype(jnp.uint32)
+    res = score_windows_core(
+        codes,
+        valid,
+        win_len,
+        lambda hi, lo: table_lookup(hi, lo, t_hi, t_lo, t_cnt),
+        k=k,
+        min_count=min_count,
+        both_strands=both_strands,
+    )
+    return _stack_results(res)
+
+
+def combine_u8(codes: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side: merge (codes, valid) into sentinel-coded uint8."""
+    return np.where(valid, codes.astype(np.uint8), SENTINEL)
+
+
 class WindowScorer:
-    """Wraps a KmerTable on device + jitted scoring over padded batches."""
+    """Wraps a KmerTable on device + jitted scoring over padded batches.
+
+    Designed for high-latency host<->device links: one uint8 upload and
+    one packed readback per batch, with async dispatch so transfers and
+    compute of consecutive batches overlap.
+    """
 
     def __init__(self, table, min_count: int = 1, device=None):
         self.k = table.k
@@ -157,12 +236,13 @@ class WindowScorer:
         self.t_lo = put(table.lo)
         self.t_cnt = put(table.counts)
         self._fns = {}
+        self._chunk_fns = {}
 
     def _fn(self, Lp: int):
         if Lp not in self._fns:
             self._fns[Lp] = jax.jit(
                 functools.partial(
-                    score_windows_device,
+                    _score_u8_batch,
                     k=self.k,
                     min_count=self.min_count,
                     both_strands=self.both_strands,
@@ -170,16 +250,50 @@ class WindowScorer:
             )
         return self._fns[Lp]
 
-    def score_batch(self, codes: np.ndarray, valid: np.ndarray, win_len: np.ndarray):
-        """codes/valid: (B, Lp) host arrays, win_len (B,). Returns dict of
-        host numpy arrays."""
-        Lp = codes.shape[1]
-        out = self._fn(Lp)(
-            jnp.asarray(codes, jnp.uint32),
-            jnp.asarray(valid, bool),
+    def _chunk_fn(self, Lp: int):
+        if Lp not in self._chunk_fns:
+            self._chunk_fns[Lp] = jax.jit(
+                functools.partial(
+                    _score_chunk,
+                    Lp=Lp,
+                    k=self.k,
+                    min_count=self.min_count,
+                    both_strands=self.both_strands,
+                )
+            )
+        return self._chunk_fns[Lp]
+
+    # -- padded-batch interface (variable-length windows) -------------------
+
+    def score_batch_async(self, codes, valid, win_len):
+        """Dispatch one padded batch; returns a device array handle."""
+        u8 = combine_u8(np.asarray(codes), np.asarray(valid))
+        return self._fn(u8.shape[1])(
+            jnp.asarray(u8),
             jnp.asarray(win_len, jnp.int32),
             self.t_hi,
             self.t_lo,
             self.t_cnt,
         )
-        return {key: np.asarray(v) for key, v in out.items()}
+
+    def score_batch(self, codes, valid, win_len):
+        return _unstack(np.asarray(self.score_batch_async(codes, valid, win_len)))
+
+    # -- chunked interface (fixed windows over a chromosome chunk) ----------
+
+    def score_chunk_async(self, chunk_u8, starts, win_len, Lp: int):
+        """chunk_u8: (C,) sentinel codes (device or host); starts/win_len
+        (B,). C, B, Lp must be stable across calls for compile reuse."""
+        return self._chunk_fn(Lp)(
+            chunk_u8 if isinstance(chunk_u8, jax.Array) else jnp.asarray(chunk_u8),
+            jnp.asarray(starts, jnp.int32),
+            jnp.asarray(win_len, jnp.int32),
+            self.t_hi,
+            self.t_lo,
+            self.t_cnt,
+        )
+
+    @staticmethod
+    def collect(handle) -> dict:
+        """Resolve an async handle into a dict of host arrays."""
+        return _unstack(np.asarray(handle))

@@ -15,6 +15,8 @@ from . import (
     kcf2plink,
     score_recalc,
     kcf2gt,
+    compare_ibs,
+    kcf2matrix,
     count,
 )
 
@@ -29,5 +31,7 @@ PLUGINS = [
     kcf2plink,
     score_recalc,
     kcf2gt,
+    compare_ibs,
+    kcf2matrix,
     count,
 ]

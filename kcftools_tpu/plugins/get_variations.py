@@ -12,9 +12,8 @@ sequence (GetVariants.java:168-179).
 import numpy as np
 
 from ..engine.hashtable import build_table
-from ..engine.pipeline import PAD_MARGIN, WindowScorer
+from ..engine.pipeline import PAD_MARGIN, WindowScorer, combine_u8
 from ..engine.windows import (
-    batch_subsequences,
     bucket_pad_len,
     pad_batch_varlen,
     sliding_windows,
@@ -161,7 +160,23 @@ def _make_block(sample, name, starts, ends, ids, res, k):
     return block
 
 
+def _chunk_geometry(window: int, step: int, k: int):
+    """Fixed chunk length / windows-per-call so the whole run compiles
+    exactly one program regardless of chromosome sizes."""
+    Lp = window + PAD_MARGIN
+    C = 1 << 22
+    while C < 4 * Lp:
+        C <<= 1
+    c_step = C - Lp
+    stride = step if step > 0 else max(1, window - k + 1)
+    B = c_step // stride + 2
+    return C, c_step, Lp, B
+
+
 def _score_fixed_windows(args, index, name, k, scorer, sample):
+    """Chunked async scoring: each chromosome base is uploaded once as a
+    sentinel-coded uint8; windows are gathered on device; each chunk is
+    one upload + one packed readback, dispatched asynchronously."""
     seq_len = index.get_sequence_length(name)
     if args.step > 0:
         starts, ends = sliding_windows(seq_len, args.window, args.step, k)
@@ -170,22 +185,41 @@ def _score_fixed_windows(args, index, name, k, scorer, sample):
     if len(starts) == 0:
         return None
     codes, valid = index.sequence_codes(name)
-    pad_len = args.window + PAD_MARGIN
-    bsz = max(1, _BATCH_POSITIONS // pad_len)
-    results = []
-    for off in range(0, len(starts), bsz):
-        s = starts[off : off + bsz]
-        e = ends[off : off + bsz]
-        bcodes, bvalid, win_len = batch_subsequences(codes, valid, s, e, pad_len)
-        # pad batch to full size so the jit sees one (B, Lp) shape
-        if len(s) < bsz:
-            padn = bsz - len(s)
-            bcodes = np.vstack([bcodes, np.zeros((padn, pad_len), np.uint32)])
-            bvalid = np.vstack([bvalid, np.zeros((padn, pad_len), bool)])
-            win_len = np.concatenate([win_len, np.zeros(padn, np.int32)])
-        res = scorer.score_batch(bcodes, bvalid, win_len)
-        results.append({key: v[: len(s)] for key, v in res.items()})
-    res = {key: np.concatenate([r[key] for r in results]) for key in results[0]}
+    u8 = combine_u8(codes, valid)
+
+    C, c_step, Lp, B = _chunk_geometry(args.window, args.step, k)
+    win_len = (ends - starts).astype(np.int32)
+    chunk_of = starts // c_step
+    handles = []
+    for c in range(0, (seq_len // c_step) + 1):
+        sel = np.flatnonzero(chunk_of == c)
+        if sel.size == 0:
+            continue
+        base = c * c_step
+        chunk = u8[base : base + C]
+        if chunk.shape[0] < C:
+            chunk = np.concatenate(
+                [chunk, np.full(C - chunk.shape[0], 4, np.uint8)]
+            )
+        cstarts = np.zeros(B, np.int32)
+        cwl = np.zeros(B, np.int32)
+        cstarts[: sel.size] = starts[sel] - base
+        cwl[: sel.size] = win_len[sel]
+        handles.append((scorer.score_chunk_async(chunk, cstarts, cwl, Lp), sel))
+
+    res_parts = {}
+    order = []
+    for handle, sel in handles:
+        out = scorer.collect(handle)
+        order.append(sel)
+        for key, v in out.items():
+            res_parts.setdefault(key, []).append(v[: sel.size])
+    sel_all = np.concatenate(order)
+    inv = np.empty_like(sel_all)
+    inv[sel_all] = np.arange(sel_all.size)
+    res = {
+        key: np.concatenate(parts)[inv] for key, parts in res_parts.items()
+    }
     ids = [f"{name}_{s}" for s in starts]
     return _make_block(sample, name, starts, ends, ids, res, k)
 
@@ -228,7 +262,7 @@ def _score_feature_windows(args, index, gtf, name, k, scorer, sample):
     for i, (c, _v) in enumerate(spliced):
         buckets.setdefault(bucket_pad_len(len(c), k), []).append(i)
 
-    res_all = {}
+    handles = []
     for pad_len, idxs in buckets.items():
         bsz = max(1, _BATCH_POSITIONS // pad_len)
         for off in range(0, len(idxs), bsz):
@@ -243,10 +277,15 @@ def _score_feature_windows(args, index, gtf, name, k, scorer, sample):
                 bcodes = np.vstack([bcodes, np.zeros((padn, pad_len), np.uint32)])
                 bvalid = np.vstack([bvalid, np.zeros((padn, pad_len), bool)])
                 win_len = np.concatenate([win_len, np.zeros(padn, np.int32)])
-            res = scorer.score_batch(bcodes, bvalid, win_len)
-            for j, i in enumerate(part):
-                res_all[i] = {key: v[j] for key, v in res.items()}
+            handles.append(
+                (scorer.score_batch_async(bcodes, bvalid, win_len), part)
+            )
 
+    res_all = {}
+    for handle, part in handles:
+        out = scorer.collect(handle)
+        for j, i in enumerate(part):
+            res_all[i] = {key: v[j] for key, v in out.items()}
     res = {
         key: np.array([res_all[i][key] for i in range(len(feats))])
         for key in next(iter(res_all.values()))
