@@ -7,6 +7,7 @@ increaseWindow, kcf2plink, scoreRecalc, kcf2gt - plus the new ``count``
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -28,15 +29,42 @@ def build_parser():
     return parser
 
 
+def _print_memory_usage():
+    """Peak RSS report (analog of HelperFunctions.printMaxMemoryUsage)."""
+    try:
+        import resource
+
+        peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        Logger.info(
+            "KCFTOOLS", f"Peak host memory: {peak_kb / (1024 * 1024):.2f} GB"
+        )
+    except Exception:
+        pass
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     parser = build_parser()
     args = parser.parse_args(argv)
     start = time.time()
+
+    # profiling: set KCFTOOLS_PROFILE=<dir> to capture a JAX/XLA trace
+    profile_dir = os.environ.get("KCFTOOLS_PROFILE")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     try:
         args.func(args)
     except KcfError:
         return 1
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            Logger.info("KCFTOOLS", f"Profiler trace written to {profile_dir}")
+    _print_memory_usage()
     Logger.info("KCFTOOLS", f"Total execution time: {time.time() - start:.2f} s")
     return 0
 

@@ -144,17 +144,16 @@ SENTINEL = np.uint8(4)
 
 
 def _stack_results(res):
-    """Pack the result dict into one (8, B) float64 array so a batch
-    costs a single device->host readback (all fields < 2^53, exact)."""
-    return jnp.stack([res[f].astype(jnp.float64) for f in FIELDS])
+    """Pack the result dict into one (8, B) int64 array so a batch costs
+    a single device->host readback. count_sum is summed in float64
+    (exact below 2^53 - bounded by window_len * max_count ~ 2e14) and
+    cast; everything else is int32-ranged. int64 specifically: some
+    device transports degrade badly on float64 readbacks."""
+    return jnp.stack([res[f].astype(jnp.int64) for f in FIELDS])
 
 
 def _unstack(arr: np.ndarray):
-    out = {}
-    for i, f in enumerate(FIELDS):
-        col = arr[i]
-        out[f] = col if f == "count_sum" else col.astype(np.int64)
-    return out
+    return {f: arr[i] for i, f in enumerate(FIELDS)}
 
 
 def score_windows_device(

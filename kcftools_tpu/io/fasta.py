@@ -199,6 +199,20 @@ class FastaIndex:
         self._mm = None
 
 
+def fold_seq(seq: str, length: int = 60) -> str:
+    """Fold a sequence to fixed-width lines, trailing newline included
+    (reference: Utils/HelperFunctions.fold_seq :204-211)."""
+    return "".join(seq[i : i + length] + "\n" for i in range(0, len(seq), length))
+
+
+def write_fasta_records(path: str, records, fold: int = 60):
+    """records: iterable of (name, description, sequence)."""
+    with open(path, "w") as fh:
+        for name, desc, seq in records:
+            fh.write(f">{name} {desc}\n")
+            fh.write(fold_seq(seq, fold))
+
+
 def codes_from_bytes(raw: np.ndarray):
     """2-bit encode a raw byte sequence -> (codes, valid)."""
     raw = np.asarray(raw, dtype=np.uint8)

@@ -209,3 +209,60 @@ class GTF:
             index.get_sequence(chrom, start - 1, end - start + 1)
             for chrom, start, end, _ in merged
         )
+
+    # -- export utilities (reference GTF.java:108-150, 254-272) -------------
+
+    def write_fasta(self, output_file, index, is_gene: bool):
+        """Write spliced gene or transcript sequences to a FASTA file."""
+        from .fasta import fold_seq
+
+        with open(output_file, "w") as fh:
+            for chrom in self.get_chromosomes():
+                for gene in self.get_genes(chrom):
+                    ids = [gene] if is_gene else self.get_transcripts(gene)
+                    for fid in ids:
+                        merged = self.merged_loci(fid, is_gene)
+                        if not merged:
+                            continue
+                        seq = self.spliced_sequence(fid, index, is_gene)
+                        desc = " ".join(
+                            f"{c}:{s}-{e}[{st}]" for c, s, e, st in merged
+                        )
+                        fh.write(f">{fid} {desc}\n")
+                        fh.write(fold_seq(seq))
+
+    def export_gtf(self, output_file):
+        """Re-emit the parsed hierarchy in GTF format."""
+        source = "KCFtools"
+        with open(output_file, "w") as fh:
+            def emit(f, type_, attrs):
+                fh.write(
+                    f"{f.chromosome}\t{source}\t{type_}\t{f.start}\t{f.end}"
+                    f"\t.\t{f.strand}\t.\t{attrs}\n"
+                )
+
+            for chrom in self.get_chromosomes():
+                for gene in self.get_genes(chrom):
+                    gf = self.feature_map.get(gene)
+                    if gf is None:
+                        continue
+                    emit(gf, gf.type, f'gene_id "{gene}";')
+                    for tr in self.get_transcripts(gene):
+                        tf = self.feature_map.get(tr)
+                        if tf is None:
+                            continue
+                        emit(
+                            tf,
+                            tf.type,
+                            f'gene_id "{gene}"; transcript_id "{tr}";',
+                        )
+                        for ex in self.get_exons(tr):
+                            ef = self.feature_map.get(ex)
+                            if ef is None:
+                                continue
+                            emit(
+                                ef,
+                                "exon",
+                                f'gene_id "{gene}"; transcript_id "{tr}"; '
+                                f'exon_id "{ex}";',
+                            )

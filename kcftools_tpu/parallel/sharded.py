@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..engine.pipeline import score_windows_core
+from ..engine.pipeline import _stack_results, _unstack, score_windows_core
 from ..ops.lookup import bucket_hashes_jnp
 
 try:  # modern jax
@@ -73,7 +73,7 @@ def make_sharded_scorer(mesh, *, k, min_count, both_strands, nb_total):
             partial = _sharded_lookup(hi, lo, t_hi, t_lo, t_cnt, nb_total)
             return jax.lax.psum(partial, "table")
 
-        return score_windows_core(
+        res = score_windows_core(
             codes,
             valid,
             win_len,
@@ -82,6 +82,7 @@ def make_sharded_scorer(mesh, *, k, min_count, both_strands, nb_total):
             min_count=min_count,
             both_strands=both_strands,
         )
+        return _stack_results(res)
 
     mapped = shard_map(
         local_fn,
@@ -94,19 +95,7 @@ def make_sharded_scorer(mesh, *, k, min_count, both_strands, nb_total):
             P("table", None),
             P("table", None),
         ),
-        out_specs={
-            key: P("data")
-            for key in (
-                "total",
-                "observed",
-                "variations",
-                "inner",
-                "left",
-                "right",
-                "count_sum",
-                "eff_length",
-            )
-        },
+        out_specs=P(None, "data"),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -163,4 +152,5 @@ class ShardedWindowScorer:
             self.t_lo,
             self.t_cnt,
         )
-        return {key: np.asarray(v)[:B] for key, v in out.items()}
+        res = _unstack(np.asarray(out))
+        return {key: v[:B] for key, v in res.items()}

@@ -162,9 +162,10 @@ def _make_block(sample, name, starts, ends, ids, res, k):
 
 def _chunk_geometry(window: int, step: int, k: int):
     """Fixed chunk length / windows-per-call so the whole run compiles
-    exactly one program regardless of chromosome sizes."""
+    exactly one program regardless of chromosome sizes. Chunks are large
+    (8 Mbp) to amortize per-call host<->device latency."""
     Lp = window + PAD_MARGIN
-    C = 1 << 22
+    C = 1 << 23
     while C < 4 * Lp:
         C <<= 1
     c_step = C - Lp
