@@ -66,66 +66,24 @@ def score_windows_core(
 
     counts = lookup_fn(hi, lo)
 
-    # k-mer validity: all k bases valid and start within win_len - k + 1
+    present_raw = counts >= jnp.uint32(min_count)
+    present_pad = jnp.concatenate(
+        [present_raw, jnp.zeros((B, Lp - n_out), bool)], axis=1
+    )
+    res = gap_scan_core(valid, present_pad, win_len, k=k)
+
+    # exact count sum over present-and-in-window k-mers (float64 < 2^53)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, n_out), 1)
     vi = valid.astype(jnp.int32)
     cv = jnp.cumsum(vi, axis=1)
     cv_pad = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cv], axis=1)
     run_k = cv_pad[:, k : k + n_out] - cv_pad[:, 0:n_out]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, n_out), 1)
     kmer_valid = (run_k == k) & (pos <= win_len[:, None] - k)
-
-    present = kmer_valid & (counts >= jnp.uint32(min_count))
-
-    # ordinals of valid k-mers
-    kv = kmer_valid.astype(jnp.int32)
-    vidx = jnp.cumsum(kv, axis=1) - 1
-    pres_ord = jnp.where(present, vidx, jnp.int32(-1))
-    prev = _exclusive_cummax(pres_ord, axis=1, init=jnp.int32(-1))
-
-    gap_before = vidx - prev - 1
-    closed = present & (gap_before > 0)
-    leading = closed & (prev == -1)
-    interior = closed & (prev >= 0)
-
-    d = gap_before - (k - 1)
-    dist = jnp.where(d > 0, d, jnp.abs(d + 1))
-
-    left = jnp.sum(jnp.where(leading, gap_before, 0), axis=1)
-    inner = jnp.sum(jnp.where(interior, dist, 0), axis=1)
-    var_closed = jnp.sum(closed.astype(jnp.int32), axis=1)
-
-    total = jnp.sum(kv, axis=1)
-    observed = jnp.sum(present.astype(jnp.int32), axis=1)
-    last_p = jnp.max(pres_ord, axis=1)  # -1 when nothing present
-    trailing = total - 1 - last_p
-    has_trailing = trailing > 0
-    right = jnp.where(has_trailing, trailing, 0)
-    variations = var_closed + has_trailing.astype(jnp.int32)
-
-    count_sum = jnp.sum(
+    present = kmer_valid & present_raw
+    res["count_sum"] = jnp.sum(
         jnp.where(present, counts, jnp.uint32(0)).astype(jnp.float64), axis=1
     )
-
-    # effective length: base-level ACGT runs of length >= k
-    bpos = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
-    prev_valid = jnp.concatenate([jnp.zeros((B, 1), bool), valid[:, :-1]], axis=1)
-    next_valid = jnp.concatenate([valid[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
-    run_start = valid & ~prev_valid
-    run_end = valid & ~next_valid
-    start_pos = jax.lax.cummax(jnp.where(run_start, bpos, jnp.int32(-1)), axis=1)
-    run_len = bpos - start_pos + 1
-    eff = jnp.sum(jnp.where(run_end & (run_len >= k), run_len, 0), axis=1)
-
-    return {
-        "total": total,
-        "observed": observed,
-        "variations": variations,
-        "inner": inner,
-        "left": left,
-        "right": right,
-        "count_sum": count_sum,
-        "eff_length": eff,
-    }
+    return res
 
 
 FIELDS = (
@@ -215,6 +173,123 @@ def _score_chunk(chunk_u8, starts, win_len, t_hi, t_lo, t_cnt, *, Lp, k,
 def combine_u8(codes: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """Host-side: merge (codes, valid) into sentinel-coded uint8."""
     return np.where(valid, codes.astype(np.uint8), SENTINEL)
+
+
+# -- state-array scan path (hybrid engine) ----------------------------------
+#
+# When per-position counts are resolved on host (sorted-merge join against
+# the reference k-mer index), the device input is one uint8 "state" per
+# base: bit0 = base is ACGT, bit1 = the k-mer starting here is present
+# (count >= min_count; only ever set where the k-mer is valid). The device
+# runs only the inherently scan-shaped work: gap runs + effective length.
+# total/observed/count_sum are exact host prefix-sum differences.
+
+STATE_BASE_VALID = np.uint8(1)
+STATE_PRESENT = np.uint8(2)
+
+
+def gap_scan_core(valid, present, win_len, *, k: int):
+    """The data-parallel gap-run scan, shared by both engines.
+
+    valid: (B, Lp) base-level validity; present: (B, Lp) k-mer-start
+    presence (already globally valid); win_len: (B,). Returns the scan
+    fields only (variations, inner, left, right, eff_length) plus
+    total/observed for convenience."""
+    B, Lp = valid.shape
+    n_out = Lp - PAD_MARGIN
+
+    vi = valid.astype(jnp.int32)
+    cv = jnp.cumsum(vi, axis=1)
+    cv_pad = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cv], axis=1)
+    run_k = cv_pad[:, k : k + n_out] - cv_pad[:, 0:n_out]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, n_out), 1)
+    kmer_valid = (run_k == k) & (pos <= win_len[:, None] - k)
+    present = present[:, :n_out] & kmer_valid
+
+    kv = kmer_valid.astype(jnp.int32)
+    vidx = jnp.cumsum(kv, axis=1) - 1
+    pres_ord = jnp.where(present, vidx, jnp.int32(-1))
+    prev = _exclusive_cummax(pres_ord, axis=1, init=jnp.int32(-1))
+
+    gap_before = vidx - prev - 1
+    closed = present & (gap_before > 0)
+    leading = closed & (prev == -1)
+    interior = closed & (prev >= 0)
+
+    d = gap_before - (k - 1)
+    dist = jnp.where(d > 0, d, jnp.abs(d + 1))
+
+    left = jnp.sum(jnp.where(leading, gap_before, 0), axis=1)
+    inner = jnp.sum(jnp.where(interior, dist, 0), axis=1)
+    var_closed = jnp.sum(closed.astype(jnp.int32), axis=1)
+
+    total = jnp.sum(kv, axis=1)
+    observed = jnp.sum(present.astype(jnp.int32), axis=1)
+    last_p = jnp.max(pres_ord, axis=1)
+    trailing = total - 1 - last_p
+    has_trailing = trailing > 0
+    right = jnp.where(has_trailing, trailing, 0)
+    variations = var_closed + has_trailing.astype(jnp.int32)
+
+    bpos = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
+    prev_valid = jnp.concatenate([jnp.zeros((B, 1), bool), valid[:, :-1]], axis=1)
+    next_valid = jnp.concatenate([valid[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+    run_start = valid & ~prev_valid
+    run_end = valid & ~next_valid
+    start_pos = jax.lax.cummax(jnp.where(run_start, bpos, jnp.int32(-1)), axis=1)
+    run_len = bpos - start_pos + 1
+    eff = jnp.sum(jnp.where(run_end & (run_len >= k), run_len, 0), axis=1)
+
+    return {
+        "total": total,
+        "observed": observed,
+        "variations": variations,
+        "inner": inner,
+        "left": left,
+        "right": right,
+        "count_sum": jnp.zeros_like(total),
+        "eff_length": eff,
+    }
+
+
+def _scan_chunk_states(chunk_state, starts, win_len, *, Lp, k):
+    """chunk_state: (C,) uint8 state codes; windows gathered on device."""
+    B = starts.shape[0]
+    idx = starts[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+    idx = jnp.minimum(idx, chunk_state.shape[0] - 1)
+    st = chunk_state[idx]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
+    in_win = pos < win_len[:, None]
+    valid = ((st & jnp.uint8(1)) != 0) & in_win
+    present = ((st & jnp.uint8(2)) != 0) & in_win
+    return _stack_results(gap_scan_core(valid, present, win_len, k=k))
+
+
+class ScanScorer:
+    """Device scorer for the hybrid engine: gap/eff scans over state
+    arrays; presence already resolved on host."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self._fns = {}
+
+    def _fn(self, Lp):
+        if Lp not in self._fns:
+            self._fns[Lp] = jax.jit(
+                functools.partial(_scan_chunk_states, Lp=Lp, k=self.k)
+            )
+        return self._fns[Lp]
+
+    def score_chunk_async(self, chunk_state, starts, win_len, Lp: int):
+        return self._fn(Lp)(
+            jnp.asarray(chunk_state),
+            jnp.asarray(starts, jnp.int32),
+            jnp.asarray(win_len, jnp.int32),
+        )
+
+    @staticmethod
+    def collect(handle) -> dict:
+        return _unstack(np.asarray(handle))
 
 
 class WindowScorer:

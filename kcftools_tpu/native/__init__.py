@@ -63,6 +63,14 @@ def get_lib():
         ]
         lib.kcf_encode_bases.restype = None
         lib.kcf_encode_bases.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.kcf_merge_counts.restype = None
+        lib.kcf_merge_counts.argtypes = [
+            u64p, ctypes.c_int64, u64p, u32p, ctypes.c_int64, u32p,
+        ]
+        lib.kcf_gather_counts.restype = None
+        lib.kcf_gather_counts.argtypes = [u32p, i32p, ctypes.c_int64, u32p]
         _lib = lib
     except Exception as e:  # pragma: no cover - environment dependent
         Logger.warning(_CLASS, f"native library unavailable ({e}); using numpy")
@@ -72,6 +80,53 @@ def get_lib():
 
 def _u32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def merge_counts(ref_sorted, db_sorted, db_counts):
+    """counts of each sorted unique ref k-mer in the sorted db (0 when
+    absent). Native linear merge with a numpy searchsorted fallback."""
+    lib = get_lib()
+    n_ref = ref_sorted.shape[0]
+    out = np.zeros(n_ref, np.uint32)
+    if lib is None:
+        pos = np.searchsorted(db_sorted, ref_sorted)
+        pos_c = np.minimum(pos, len(db_sorted) - 1)
+        hit = (pos < len(db_sorted)) & (db_sorted[pos_c] == ref_sorted)
+        out[hit] = db_counts[pos_c[hit]]
+        return out
+    ref_sorted = np.ascontiguousarray(ref_sorted, np.uint64)
+    db_sorted = np.ascontiguousarray(db_sorted, np.uint64)
+    db_counts = np.ascontiguousarray(db_counts, np.uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.kcf_merge_counts(
+        ref_sorted.ctypes.data_as(u64p),
+        n_ref,
+        db_sorted.ctypes.data_as(u64p),
+        _u32p(db_counts),
+        db_sorted.shape[0],
+        _u32p(out),
+    )
+    return out
+
+
+def gather_counts(table_u32, idx_i32):
+    """out[i] = table[idx[i]] (0 for idx < 0)."""
+    lib = get_lib()
+    idx_i32 = np.ascontiguousarray(idx_i32, np.int32)
+    if lib is None:
+        safe = np.maximum(idx_i32, 0)
+        out = table_u32[safe]
+        out[idx_i32 < 0] = 0
+        return out
+    table_u32 = np.ascontiguousarray(table_u32, np.uint32)
+    out = np.empty(idx_i32.shape[0], np.uint32)
+    lib.kcf_gather_counts(
+        _u32p(table_u32),
+        idx_i32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx_i32.shape[0],
+        _u32p(out),
+    )
+    return out
 
 
 def build_table_native(hi, lo, counts, nb):

@@ -130,6 +130,30 @@ void kcf_lookup(const uint32_t* qhi, const uint32_t* qlo, int64_t n,
   }
 }
 
+// Sorted-merge join: for each element of the sorted unique reference
+// k-mer array R, find its count in the sorted (kmer, count) database.
+// Linear scan over both arrays at memory speed - the host-side analog
+// of a sparse join that random-access hash probes cannot match.
+void kcf_merge_counts(const uint64_t* ref, int64_t n_ref, const uint64_t* db,
+                      const uint32_t* db_counts, int64_t n_db,
+                      uint32_t* out_counts) {
+  int64_t j = 0;
+  for (int64_t i = 0; i < n_ref; ++i) {
+    uint64_t key = ref[i];
+    while (j < n_db && db[j] < key) ++j;
+    out_counts[i] = (j < n_db && db[j] == key) ? db_counts[j] : 0;
+  }
+}
+
+// out[i] = table[idx[i]] for idx >= 0 else 0 (per-position count gather).
+void kcf_gather_counts(const uint32_t* table, const int32_t* idx, int64_t n,
+                       uint32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t at = idx[i];
+    out[i] = (at >= 0) ? table[at] : 0;
+  }
+}
+
 // 2-bit pack + validity for a byte sequence (ACGT/acgt -> 0..3).
 void kcf_encode_bases(const uint8_t* seq, int64_t n, uint8_t* codes,
                       uint8_t* valid) {

@@ -12,7 +12,14 @@ sequence (GetVariants.java:168-179).
 import numpy as np
 
 from ..engine.hashtable import build_table
-from ..engine.pipeline import PAD_MARGIN, WindowScorer, combine_u8
+from ..engine.pipeline import (
+    PAD_MARGIN,
+    STATE_BASE_VALID,
+    ScanScorer,
+    WindowScorer,
+    combine_u8,
+)
+from ..engine.refindex import RefKmerIndex
 from ..engine.windows import (
     bucket_pad_len,
     pad_batch_varlen,
@@ -23,6 +30,7 @@ from ..io.fasta import FastaIndex
 from ..io.gtf import GTF
 from ..io.kcf import KCFHeader, KCFWriter, WindowBlock
 from ..io.kmc import KMCReader
+from ..native import gather_counts, merge_counts
 from ..utils.logger import Logger
 from ._common import clean_sample_name, get_command_line
 
@@ -66,6 +74,15 @@ def add_parser(subparsers):
     p.add_argument(
         "-p", "--step", type=int, default=0, help="Step size for sliding window"
     )
+    p.add_argument(
+        "--engine",
+        choices=["auto", "hybrid", "device"],
+        default="auto",
+        help="Lookup engine: 'hybrid' resolves k-mer counts on host via a "
+        "sorted-merge join against a cached reference k-mer index (fast "
+        "path for window mode); 'device' runs hash-table lookups on the "
+        "accelerator (used for gene/transcript and sharded tables)",
+    )
     p.set_defaults(func=run)
     return p
 
@@ -99,8 +116,15 @@ def run(args):
 
     kmc = KMCReader(args.kmc)
     k = kmc.kmer_length
-    table = build_table(kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands)
-    scorer = WindowScorer(table, min_count=args.min_k_count)
+
+    use_hybrid = args.feature == "window" and args.engine in ("auto", "hybrid")
+    if use_hybrid:
+        scorer = None  # no device hash table needed
+    else:
+        table = build_table(
+            kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands
+        )
+        scorer = WindowScorer(table, min_count=args.min_k_count)
 
     header = KCFHeader()
     header.reference = args.reference
@@ -116,13 +140,28 @@ def run(args):
     index = FastaIndex(args.reference)
     gtf = GTF(args.gtf) if args.feature in ("gene", "transcript") else None
 
+    if use_hybrid:
+        refidx = RefKmerIndex.load_or_build(
+            args.reference, index, k, canonical=kmc.both_strands
+        )
+        order = np.argsort(kmc.kmers, kind="stable")
+        counts_r = merge_counts(
+            refidx.kmers, kmc.kmers[order], kmc.counts[order]
+        )
+        scan_scorer = ScanScorer(k)
+
     Logger.info(_CLASS, "Generating windows...")
     blocks = []
     total_windows = 0
     for name in index.get_sequence_names():
         header.add_contig(name, index.get_sequence_length(name))
         if args.feature == "window":
-            block = _score_fixed_windows(args, index, name, k, scorer, sample)
+            if use_hybrid:
+                block = _score_fixed_windows_hybrid(
+                    args, index, refidx, counts_r, name, k, scan_scorer, sample
+                )
+            else:
+                block = _score_fixed_windows(args, index, name, k, scorer, sample)
         else:
             block = _score_feature_windows(args, index, gtf, name, k, scorer, sample)
         if block is not None and len(block) > 0:
@@ -221,6 +260,86 @@ def _score_fixed_windows(args, index, name, k, scorer, sample):
     res = {
         key: np.concatenate(parts)[inv] for key, parts in res_parts.items()
     }
+    ids = [f"{name}_{s}" for s in starts]
+    return _make_block(sample, name, starts, ends, ids, res, k)
+
+
+def _score_fixed_windows_hybrid(
+    args, index, refidx, counts_r, name, k, scan_scorer, sample
+):
+    """Hybrid engine: k-mer counts resolved on host (gather of the
+    merge-joined per-unique-kmer counts through the cached per-position
+    index), exact totals via host prefix sums; the device runs only the
+    gap-run / effective-length scans over sentinel state arrays."""
+    seq_len = index.get_sequence_length(name)
+    if args.step > 0:
+        starts, ends = sliding_windows(seq_len, args.window, args.step, k)
+    else:
+        starts, ends = tiling_windows(seq_len, args.window, k)
+    if len(starts) == 0:
+        return None
+
+    r_idx = refidx.chrom_r_idx[name]  # (L-k+1,)
+    counts_pos = gather_counts(counts_r, r_idx)
+    codes, valid = index.sequence_codes(name)
+    present_pos = counts_pos >= np.uint32(args.min_k_count)
+    kmer_valid_pos = r_idx >= 0
+
+    # host-exact per-window totals via prefix-sum differences over the
+    # k-mer-start range [s, e-k]
+    cs_cnt = np.zeros(len(counts_pos) + 1, np.int64)
+    np.cumsum(np.where(present_pos, counts_pos, 0).astype(np.int64), out=cs_cnt[1:])
+    cs_obs = np.zeros(len(counts_pos) + 1, np.int64)
+    np.cumsum(present_pos.astype(np.int64), out=cs_obs[1:])
+    cs_tot = np.zeros(len(counts_pos) + 1, np.int64)
+    np.cumsum(kmer_valid_pos.astype(np.int64), out=cs_tot[1:])
+    lo = starts
+    hi = ends - k + 1
+    total = cs_tot[hi] - cs_tot[lo]
+    observed = cs_obs[hi] - cs_obs[lo]
+    count_sum = cs_cnt[hi] - cs_cnt[lo]
+
+    # device scans over state bytes
+    state = valid.astype(np.uint8)
+    state[: len(present_pos)] |= (present_pos.astype(np.uint8) << 1)
+
+    C, c_step, Lp, B = _chunk_geometry(args.window, args.step, k)
+    win_len = (ends - starts).astype(np.int32)
+    chunk_of = starts // c_step
+    handles = []
+    for c in range(0, (seq_len // c_step) + 1):
+        sel = np.flatnonzero(chunk_of == c)
+        if sel.size == 0:
+            continue
+        base = c * c_step
+        chunk = state[base : base + C]
+        if chunk.shape[0] < C:
+            chunk = np.concatenate(
+                [chunk, np.zeros(C - chunk.shape[0], np.uint8)]
+            )
+        cstarts = np.zeros(B, np.int32)
+        cwl = np.zeros(B, np.int32)
+        cstarts[: sel.size] = starts[sel] - base
+        cwl[: sel.size] = win_len[sel]
+        handles.append(
+            (scan_scorer.score_chunk_async(chunk, cstarts, cwl, Lp), sel)
+        )
+
+    res_parts = {}
+    order = []
+    for handle, sel in handles:
+        out = scan_scorer.collect(handle)
+        order.append(sel)
+        for key, v in out.items():
+            res_parts.setdefault(key, []).append(v[: sel.size])
+    sel_all = np.concatenate(order)
+    inv = np.empty_like(sel_all)
+    inv[sel_all] = np.arange(sel_all.size)
+    res = {key: np.concatenate(parts)[inv] for key, parts in res_parts.items()}
+    res["total"] = total
+    res["observed"] = observed
+    res["count_sum"] = count_sum
+
     ids = [f"{name}_{s}" for s in starts]
     return _make_block(sample, name, starts, ends, ids, res, k)
 
