@@ -71,6 +71,15 @@ def get_lib():
         ]
         lib.kcf_gather_counts.restype = None
         lib.kcf_gather_counts.argtypes = [u32p, i32p, ctypes.c_int64, u32p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kcf_chrom_stats.restype = None
+        lib.kcf_chrom_stats.argtypes = [
+            u32p, i32p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_uint32, ctypes.c_int32,
+            i32p, i32p, i64p,          # cs_tot cs_obs cs_cnt
+            i32p, i64p, i64p, i64p,    # pp p_var p_dist n_present
+            i32p, i32p, i64p, i64p,    # run_start run_end f_run n_runs
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover - environment dependent
         Logger.warning(_CLASS, f"native library unavailable ({e}); using numpy")
@@ -127,6 +136,90 @@ def gather_counts(table_u32, idx_i32):
         _u32p(out),
     )
     return out
+
+
+_scratch = {}
+
+
+def _buf(name, size, dtype):
+    """Monotonically-growing reusable scratch buffer (allocation and
+    first-touch page faults dominate otherwise on small hosts)."""
+    cur = _scratch.get(name)
+    if cur is None or cur.shape[0] < size or cur.dtype != np.dtype(dtype):
+        cap = max(size, 1)
+        if cur is not None and cur.dtype == np.dtype(dtype):
+            cap = max(cap, cur.shape[0] * 2)
+        _scratch[name] = np.empty(cap, dtype)
+        _scratch[name][:] = 0  # force page commit once
+    return _scratch[name][:size]
+
+
+def chrom_stats_native(counts_pos, r_idx, base_valid, min_count, k):
+    """Fused chromosome pass; returns the engine/prefix_scan dict or None
+    when the native library is unavailable.
+
+    NOTE: the returned arrays alias reusable scratch buffers - they are
+    valid until the next chrom_stats_native call. Callers consume them
+    immediately (window_stats), matching the plugin's per-chromosome
+    flow.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts_pos = np.ascontiguousarray(counts_pos, np.uint32)
+    r_idx = np.ascontiguousarray(r_idx, np.int32)
+    base_valid = np.ascontiguousarray(base_valid, np.uint8)
+    n_pos = counts_pos.shape[0]
+    L = base_valid.shape[0]
+    cs_tot = _buf("cs_tot", n_pos + 1, np.int32)
+    cs_obs = _buf("cs_obs", n_pos + 1, np.int32)
+    cs_cnt = _buf("cs_cnt", n_pos + 1, np.int64)
+    pp = _buf("pp", max(n_pos, 1), np.int32)
+    p_var = _buf("p_var", n_pos + 2, np.int64)
+    p_dist = _buf("p_dist", n_pos + 2, np.int64)
+    max_runs = L // 2 + 2
+    run_start = _buf("run_start", max_runs, np.int32)
+    run_end = _buf("run_end", max_runs, np.int32)
+    f_run = _buf("f_run", max_runs + 1, np.int64)
+    n_present = np.zeros(1, np.int64)
+    n_runs = np.zeros(1, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.kcf_chrom_stats(
+        _u32p(counts_pos),
+        r_idx.ctypes.data_as(i32p),
+        n_pos,
+        base_valid.ctypes.data_as(u8p),
+        L,
+        ctypes.c_uint32(min_count),
+        ctypes.c_int32(k),
+        cs_tot.ctypes.data_as(i32p),
+        cs_obs.ctypes.data_as(i32p),
+        cs_cnt.ctypes.data_as(i64p),
+        pp.ctypes.data_as(i32p),
+        p_var.ctypes.data_as(i64p),
+        p_dist.ctypes.data_as(i64p),
+        n_present.ctypes.data_as(i64p),
+        run_start.ctypes.data_as(i32p),
+        run_end.ctypes.data_as(i32p),
+        f_run.ctypes.data_as(i64p),
+        n_runs.ctypes.data_as(i64p),
+    )
+    npp = int(n_present[0])
+    nr = int(n_runs[0])
+    return {
+        "cs_tot": cs_tot,
+        "cs_obs": cs_obs,
+        "cs_cnt": cs_cnt,
+        "pp": pp[:npp],
+        "p_var": p_var[: npp + 1],
+        "p_dist": p_dist[: npp + 1],
+        "run_start": run_start[:nr],
+        "run_end": run_end[:nr],
+        "f_run": f_run[: nr + 1],
+        "k": k,
+    }
 
 
 def build_table_native(hi, lo, counts, nb):

@@ -154,6 +154,84 @@ void kcf_gather_counts(const uint32_t* table, const int32_t* idx, int64_t n,
   }
 }
 
+// Fused chromosome pass for the prefix-decomposition engine: one linear
+// scan over k-mer start positions producing every prefix array the
+// per-window O(1) statistics need, plus the base-validity run table.
+// Returns the number of present k-mers via *n_present and the number of
+// runs via *n_runs (pp/p_* and run_*/f_run are caller-allocated at
+// worst-case size).
+void kcf_chrom_stats(const uint32_t* counts_pos, const int32_t* r_idx,
+                     int64_t n_pos, const uint8_t* base_valid, int64_t L,
+                     uint32_t min_count, int32_t k,
+                     int32_t* cs_tot,   // (n_pos+1)
+                     int32_t* cs_obs,   // (n_pos+1)
+                     int64_t* cs_cnt,   // (n_pos+1)
+                     int32_t* pp,       // (<= n_pos)
+                     int64_t* p_var,    // (<= n_pos+1)
+                     int64_t* p_dist,   // (<= n_pos+1)
+                     int64_t* n_present,
+                     int32_t* run_start,  // (<= L/2+1)
+                     int32_t* run_end,
+                     int64_t* f_run,      // (<= L/2+2)
+                     int64_t* n_runs) {
+  int32_t tot = 0, obs = 0;
+  int64_t cnt = 0;
+  cs_tot[0] = 0;
+  cs_obs[0] = 0;
+  cs_cnt[0] = 0;
+  int64_t np_ = 0;
+  int32_t last_present_ord = -1;
+  p_var[0] = 0;
+  p_dist[0] = 0;
+  for (int64_t i = 0; i < n_pos; ++i) {
+    bool kv = r_idx[i] >= 0;
+    if (kv) {
+      ++tot;
+      uint32_t c = counts_pos[i];
+      if (c >= min_count) {
+        ++obs;
+        cnt += c;
+        // gap before this present k-mer, in valid-k-mer ordinals
+        int64_t gap = (np_ == 0) ? 0 : (int64_t)(tot - 1) - last_present_ord - 1;
+        int64_t dd = 0, hv = 0;
+        if (gap > 0) {
+          int64_t dist = gap - (k - 1);
+          if (dist <= 0) dist = (dist + 1 < 0) ? -(dist + 1) : dist + 1;
+          dd = dist;
+          hv = 1;
+        }
+        pp[np_] = (int32_t)i;
+        p_var[np_ + 1] = p_var[np_] + hv;
+        p_dist[np_ + 1] = p_dist[np_] + dd;
+        ++np_;
+        last_present_ord = tot - 1;
+      }
+    }
+    cs_tot[i + 1] = tot;
+    cs_obs[i + 1] = obs;
+    cs_cnt[i + 1] = cnt;
+  }
+  *n_present = np_;
+
+  int64_t nr = 0;
+  bool in_run = false;
+  f_run[0] = 0;
+  for (int64_t i = 0; i <= L; ++i) {
+    bool v = (i < L) && base_valid[i];
+    if (v && !in_run) {
+      run_start[nr] = (int32_t)i;
+      in_run = true;
+    } else if (!v && in_run) {
+      run_end[nr] = (int32_t)i;
+      int64_t len = run_end[nr] - run_start[nr];
+      f_run[nr + 1] = f_run[nr] + (len >= k ? len : 0);
+      ++nr;
+      in_run = false;
+    }
+  }
+  *n_runs = nr;
+}
+
 // 2-bit pack + validity for a byte sequence (ACGT/acgt -> 0..3).
 void kcf_encode_bases(const uint8_t* seq, int64_t n, uint8_t* codes,
                       uint8_t* valid) {

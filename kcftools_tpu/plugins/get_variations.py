@@ -19,6 +19,7 @@ from ..engine.pipeline import (
     WindowScorer,
     combine_u8,
 )
+from ..engine.prefix_scan import chromosome_stats, window_stats
 from ..engine.refindex import RefKmerIndex
 from ..engine.windows import (
     bucket_pad_len,
@@ -269,8 +270,9 @@ def _score_fixed_windows_hybrid(
 ):
     """Hybrid engine: k-mer counts resolved on host (gather of the
     merge-joined per-unique-kmer counts through the cached per-position
-    index), exact totals via host prefix sums; the device runs only the
-    gap-run / effective-length scans over sentinel state arrays."""
+    index), then every per-window statistic via the global prefix
+    decomposition (engine/prefix_scan.py) - O(L) per chromosome plus
+    O(1) per window."""
     seq_len = index.get_sequence_length(name)
     if args.step > 0:
         starts, ends = sliding_windows(seq_len, args.window, args.step, k)
@@ -281,65 +283,11 @@ def _score_fixed_windows_hybrid(
 
     r_idx = refidx.chrom_r_idx[name]  # (L-k+1,)
     counts_pos = gather_counts(counts_r, r_idx)
-    codes, valid = index.sequence_codes(name)
-    present_pos = counts_pos >= np.uint32(args.min_k_count)
-    kmer_valid_pos = r_idx >= 0
-
-    # host-exact per-window totals via prefix-sum differences over the
-    # k-mer-start range [s, e-k]
-    cs_cnt = np.zeros(len(counts_pos) + 1, np.int64)
-    np.cumsum(np.where(present_pos, counts_pos, 0).astype(np.int64), out=cs_cnt[1:])
-    cs_obs = np.zeros(len(counts_pos) + 1, np.int64)
-    np.cumsum(present_pos.astype(np.int64), out=cs_obs[1:])
-    cs_tot = np.zeros(len(counts_pos) + 1, np.int64)
-    np.cumsum(kmer_valid_pos.astype(np.int64), out=cs_tot[1:])
-    lo = starts
-    hi = ends - k + 1
-    total = cs_tot[hi] - cs_tot[lo]
-    observed = cs_obs[hi] - cs_obs[lo]
-    count_sum = cs_cnt[hi] - cs_cnt[lo]
-
-    # device scans over state bytes
-    state = valid.astype(np.uint8)
-    state[: len(present_pos)] |= (present_pos.astype(np.uint8) << 1)
-
-    C, c_step, Lp, B = _chunk_geometry(args.window, args.step, k)
-    win_len = (ends - starts).astype(np.int32)
-    chunk_of = starts // c_step
-    handles = []
-    for c in range(0, (seq_len // c_step) + 1):
-        sel = np.flatnonzero(chunk_of == c)
-        if sel.size == 0:
-            continue
-        base = c * c_step
-        chunk = state[base : base + C]
-        if chunk.shape[0] < C:
-            chunk = np.concatenate(
-                [chunk, np.zeros(C - chunk.shape[0], np.uint8)]
-            )
-        cstarts = np.zeros(B, np.int32)
-        cwl = np.zeros(B, np.int32)
-        cstarts[: sel.size] = starts[sel] - base
-        cwl[: sel.size] = win_len[sel]
-        handles.append(
-            (scan_scorer.score_chunk_async(chunk, cstarts, cwl, Lp), sel)
-        )
-
-    res_parts = {}
-    order = []
-    for handle, sel in handles:
-        out = scan_scorer.collect(handle)
-        order.append(sel)
-        for key, v in out.items():
-            res_parts.setdefault(key, []).append(v[: sel.size])
-    sel_all = np.concatenate(order)
-    inv = np.empty_like(sel_all)
-    inv[sel_all] = np.arange(sel_all.size)
-    res = {key: np.concatenate(parts)[inv] for key, parts in res_parts.items()}
-    res["total"] = total
-    res["observed"] = observed
-    res["count_sum"] = count_sum
-
+    _codes, valid = index.sequence_codes(name)
+    st = chromosome_stats(
+        counts_pos, r_idx >= 0, valid, args.min_k_count, k, r_idx=r_idx
+    )
+    res = window_stats(st, starts, ends)
     ids = [f"{name}_{s}" for s in starts]
     return _make_block(sample, name, starts, ends, ids, res, k)
 
