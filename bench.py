@@ -41,9 +41,9 @@ import kcftools_tpu  # noqa: F401  (enables x64 + compile cache)
 import jax
 
 from kcftools_tpu.engine.encode import canonicalize, pack_kmers
-from kcftools_tpu.engine.prefix_scan import chromosome_stats, window_stats
+from kcftools_tpu.engine.prefix_scan import chromosome_stats_indirect, window_stats
 from kcftools_tpu.engine.windows import tiling_windows
-from kcftools_tpu.native import gather_counts, merge_counts
+from kcftools_tpu.native import merge_counts
 
 GENOME_MBP = 5
 K = 31
@@ -54,8 +54,7 @@ BASELINE_WINDOWS_PER_SEC = 3200.0
 
 def sweep(refk, r_idx, base_valid, db_sorted, db_counts, starts, ends):
     counts_r = merge_counts(refk, db_sorted, db_counts)
-    counts_pos = gather_counts(counts_r, r_idx)
-    st = chromosome_stats(counts_pos, r_idx >= 0, base_valid, 1, K, r_idx=r_idx)
+    st = chromosome_stats_indirect(counts_r, r_idx, base_valid, 1, K)
     res = window_stats(st, starts, ends)
     return int(res["observed"].sum()), int(res["variations"].sum())
 

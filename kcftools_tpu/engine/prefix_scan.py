@@ -42,6 +42,25 @@ def chromosome_stats(counts_pos, kmer_valid_pos, base_valid, min_count, k,
         st = chrom_stats_native(counts_pos, r_idx, base_valid, min_count, k)
         if st is not None:
             return st
+    return chromosome_stats_numpy(
+        counts_pos, kmer_valid_pos, base_valid, min_count, k
+    )
+
+
+def chromosome_stats_indirect(counts_r, r_idx, base_valid, min_count, k):
+    """counts_r is the per-unique-kmer count table. The per-position
+    gather runs as its own tight pass (a dedicated gather loop overlaps
+    cache misses far better than a gather fused into the stats scan),
+    then the fused native stats pass consumes the positional counts."""
+    from ..native import gather_counts
+
+    counts_pos = gather_counts(np.asarray(counts_r, np.uint32), r_idx)
+    return chromosome_stats(
+        counts_pos, r_idx >= 0, base_valid, min_count, k, r_idx=r_idx
+    )
+
+
+def chromosome_stats_numpy(counts_pos, kmer_valid_pos, base_valid, min_count, k):
     n_pos = counts_pos.shape[0]
     present_pos = (counts_pos >= np.uint32(min_count)) & kmer_valid_pos
 
@@ -99,8 +118,11 @@ def window_stats(st, starts, ends):
     end - start >= k). Returns the engine's standard 8-field dict.
     """
     k = st["k"]
-    starts = np.asarray(starts, np.int64)
-    ends = np.asarray(ends, np.int64)
+    # match index dtypes to the stats arrays: searchsorted silently
+    # promotes (and copies) the searched array on dtype mismatch
+    idx_dtype = st["pp"].dtype if st["pp"].size else np.int64
+    starts = np.asarray(starts).astype(idx_dtype)
+    ends = np.asarray(ends).astype(idx_dtype)
     s = starts
     hi = ends - k  # last k-mer start position (inclusive)
 

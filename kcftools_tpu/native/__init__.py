@@ -72,9 +72,9 @@ def get_lib():
         lib.kcf_gather_counts.restype = None
         lib.kcf_gather_counts.argtypes = [u32p, i32p, ctypes.c_int64, u32p]
         i64p = ctypes.POINTER(ctypes.c_int64)
-        lib.kcf_chrom_stats.restype = None
-        lib.kcf_chrom_stats.argtypes = [
-            u32p, i32p, ctypes.c_int64, u8p, ctypes.c_int64,
+        lib.kcf_chrom_stats2.restype = None
+        lib.kcf_chrom_stats2.argtypes = [
+            u32p, ctypes.c_int32, i32p, ctypes.c_int64, u8p, ctypes.c_int64,
             ctypes.c_uint32, ctypes.c_int32,
             i32p, i32p, i64p,          # cs_tot cs_obs cs_cnt
             i32p, i64p, i64p, i64p,    # pp p_var p_dist n_present
@@ -154,9 +154,12 @@ def _buf(name, size, dtype):
     return _scratch[name][:size]
 
 
-def chrom_stats_native(counts_pos, r_idx, base_valid, min_count, k):
+def chrom_stats_native(counts, r_idx, base_valid, min_count, k,
+                       indirect=False):
     """Fused chromosome pass; returns the engine/prefix_scan dict or None
-    when the native library is unavailable.
+    when the native library is unavailable. With ``indirect=True``,
+    ``counts`` is the per-unique-kmer table and the per-position gather
+    is fused into the scan (counts[r_idx[i]]).
 
     NOTE: the returned arrays alias reusable scratch buffers - they are
     valid until the next chrom_stats_native call. Callers consume them
@@ -166,10 +169,10 @@ def chrom_stats_native(counts_pos, r_idx, base_valid, min_count, k):
     lib = get_lib()
     if lib is None:
         return None
-    counts_pos = np.ascontiguousarray(counts_pos, np.uint32)
+    counts_pos = np.ascontiguousarray(counts, np.uint32)
     r_idx = np.ascontiguousarray(r_idx, np.int32)
     base_valid = np.ascontiguousarray(base_valid, np.uint8)
-    n_pos = counts_pos.shape[0]
+    n_pos = r_idx.shape[0]
     L = base_valid.shape[0]
     cs_tot = _buf("cs_tot", n_pos + 1, np.int32)
     cs_obs = _buf("cs_obs", n_pos + 1, np.int32)
@@ -186,8 +189,9 @@ def chrom_stats_native(counts_pos, r_idx, base_valid, min_count, k):
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.kcf_chrom_stats(
+    lib.kcf_chrom_stats2(
         _u32p(counts_pos),
+        ctypes.c_int32(1 if indirect else 0),
         r_idx.ctypes.data_as(i32p),
         n_pos,
         base_valid.ctypes.data_as(u8p),

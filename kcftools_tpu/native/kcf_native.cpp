@@ -13,8 +13,10 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libkcfnative.so kcf_native.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -134,15 +136,36 @@ void kcf_lookup(const uint32_t* qhi, const uint32_t* qlo, int64_t n,
 // k-mer array R, find its count in the sorted (kmer, count) database.
 // Linear scan over both arrays at memory speed - the host-side analog
 // of a sparse join that random-access hash probes cannot match.
-void kcf_merge_counts(const uint64_t* ref, int64_t n_ref, const uint64_t* db,
-                      const uint32_t* db_counts, int64_t n_db,
-                      uint32_t* out_counts) {
-  int64_t j = 0;
-  for (int64_t i = 0; i < n_ref; ++i) {
+static void merge_range(const uint64_t* ref, int64_t lo, int64_t hi,
+                        const uint64_t* db, const uint32_t* db_counts,
+                        int64_t n_db, uint32_t* out_counts) {
+  if (lo >= hi) return;
+  int64_t j = std::lower_bound(db, db + n_db, ref[lo]) - db;
+  for (int64_t i = lo; i < hi; ++i) {
     uint64_t key = ref[i];
     while (j < n_db && db[j] < key) ++j;
     out_counts[i] = (j < n_db && db[j] == key) ? db_counts[j] : 0;
   }
+}
+
+void kcf_merge_counts(const uint64_t* ref, int64_t n_ref, const uint64_t* db,
+                      const uint32_t* db_counts, int64_t n_db,
+                      uint32_t* out_counts) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = hw > 1 ? (int)std::min<unsigned>(hw, 8) : 1;
+  if (n_threads <= 1 || n_ref < (1 << 20)) {
+    merge_range(ref, 0, n_ref, db, db_counts, n_db, out_counts);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t step = (n_ref + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * step;
+    int64_t hi = std::min(n_ref, lo + step);
+    workers.emplace_back(merge_range, ref, lo, hi, db, db_counts, n_db,
+                         out_counts);
+  }
+  for (auto& w : workers) w.join();
 }
 
 // out[i] = table[idx[i]] for idx >= 0 else 0 (per-position count gather).
@@ -160,20 +183,24 @@ void kcf_gather_counts(const uint32_t* table, const int32_t* idx, int64_t n,
 // Returns the number of present k-mers via *n_present and the number of
 // runs via *n_runs (pp/p_* and run_*/f_run are caller-allocated at
 // worst-case size).
-void kcf_chrom_stats(const uint32_t* counts_pos, const int32_t* r_idx,
-                     int64_t n_pos, const uint8_t* base_valid, int64_t L,
-                     uint32_t min_count, int32_t k,
-                     int32_t* cs_tot,   // (n_pos+1)
-                     int32_t* cs_obs,   // (n_pos+1)
-                     int64_t* cs_cnt,   // (n_pos+1)
-                     int32_t* pp,       // (<= n_pos)
-                     int64_t* p_var,    // (<= n_pos+1)
-                     int64_t* p_dist,   // (<= n_pos+1)
-                     int64_t* n_present,
-                     int32_t* run_start,  // (<= L/2+1)
-                     int32_t* run_end,
-                     int64_t* f_run,      // (<= L/2+2)
-                     int64_t* n_runs) {
+// indirect == 0: counts[i] is the count of the k-mer at position i.
+// indirect == 1: counts[r_idx[i]] is (counts = per-unique-kmer table),
+//                fusing the former gather pass into this scan.
+void kcf_chrom_stats2(const uint32_t* counts, int32_t indirect,
+                      const int32_t* r_idx, int64_t n_pos,
+                      const uint8_t* base_valid, int64_t L,
+                      uint32_t min_count, int32_t k,
+                      int32_t* cs_tot,   // (n_pos+1)
+                      int32_t* cs_obs,   // (n_pos+1)
+                      int64_t* cs_cnt,   // (n_pos+1)
+                      int32_t* pp,       // (<= n_pos)
+                      int64_t* p_var,    // (<= n_pos+1)
+                      int64_t* p_dist,   // (<= n_pos+1)
+                      int64_t* n_present,
+                      int32_t* run_start,  // (<= L/2+1)
+                      int32_t* run_end,
+                      int64_t* f_run,      // (<= L/2+2)
+                      int64_t* n_runs) {
   int32_t tot = 0, obs = 0;
   int64_t cnt = 0;
   cs_tot[0] = 0;
@@ -184,10 +211,11 @@ void kcf_chrom_stats(const uint32_t* counts_pos, const int32_t* r_idx,
   p_var[0] = 0;
   p_dist[0] = 0;
   for (int64_t i = 0; i < n_pos; ++i) {
-    bool kv = r_idx[i] >= 0;
+    int32_t ri = r_idx[i];
+    bool kv = ri >= 0;
     if (kv) {
       ++tot;
-      uint32_t c = counts_pos[i];
+      uint32_t c = indirect ? counts[ri] : counts[i];
       if (c >= min_count) {
         ++obs;
         cnt += c;
@@ -230,6 +258,19 @@ void kcf_chrom_stats(const uint32_t* counts_pos, const int32_t* r_idx,
     }
   }
   *n_runs = nr;
+}
+
+// Backwards-compatible wrapper (per-position counts).
+void kcf_chrom_stats(const uint32_t* counts_pos, const int32_t* r_idx,
+                     int64_t n_pos, const uint8_t* base_valid, int64_t L,
+                     uint32_t min_count, int32_t k, int32_t* cs_tot,
+                     int32_t* cs_obs, int64_t* cs_cnt, int32_t* pp,
+                     int64_t* p_var, int64_t* p_dist, int64_t* n_present,
+                     int32_t* run_start, int32_t* run_end, int64_t* f_run,
+                     int64_t* n_runs) {
+  kcf_chrom_stats2(counts_pos, 0, r_idx, n_pos, base_valid, L, min_count, k,
+                   cs_tot, cs_obs, cs_cnt, pp, p_var, p_dist, n_present,
+                   run_start, run_end, f_run, n_runs);
 }
 
 // 2-bit pack + validity for a byte sequence (ACGT/acgt -> 0..3).

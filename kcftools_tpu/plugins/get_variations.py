@@ -19,7 +19,7 @@ from ..engine.pipeline import (
     WindowScorer,
     combine_u8,
 )
-from ..engine.prefix_scan import chromosome_stats, window_stats
+from ..engine.prefix_scan import chromosome_stats_indirect, window_stats
 from ..engine.refindex import RefKmerIndex
 from ..engine.windows import (
     bucket_pad_len,
@@ -282,11 +282,8 @@ def _score_fixed_windows_hybrid(
         return None
 
     r_idx = refidx.chrom_r_idx[name]  # (L-k+1,)
-    counts_pos = gather_counts(counts_r, r_idx)
     _codes, valid = index.sequence_codes(name)
-    st = chromosome_stats(
-        counts_pos, r_idx >= 0, valid, args.min_k_count, k, r_idx=r_idx
-    )
+    st = chromosome_stats_indirect(counts_r, r_idx, valid, args.min_k_count, k)
     res = window_stats(st, starts, ends)
     ids = [f"{name}_{s}" for s in starts]
     return _make_block(sample, name, starts, ends, ids, res, k)
