@@ -136,7 +136,11 @@ class ShardedWindowScorer:
             )
         return self._fns[Lp]
 
-    def score_batch(self, codes, valid, win_len):
+    def score_batch_async(self, codes, valid, win_len):
+        """Dispatch one padded batch across the mesh; returns (handle, B)."""
+        codes = np.asarray(codes)
+        valid = np.asarray(valid)
+        win_len = np.asarray(win_len)
         B = codes.shape[0]
         d = self.data_parallel
         padn = (-B) % d
@@ -144,7 +148,7 @@ class ShardedWindowScorer:
             codes = np.vstack([codes, np.zeros((padn, codes.shape[1]), codes.dtype)])
             valid = np.vstack([valid, np.zeros((padn, valid.shape[1]), bool)])
             win_len = np.concatenate([win_len, np.zeros(padn, win_len.dtype)])
-        out = self._fn(codes.shape[1])(
+        handle = self._fn(codes.shape[1])(
             jax.device_put(jnp.asarray(codes, jnp.uint32), self._dspec),
             jax.device_put(jnp.asarray(valid, bool), self._dspec),
             jax.device_put(jnp.asarray(win_len, jnp.int32), self._dspec1),
@@ -152,5 +156,13 @@ class ShardedWindowScorer:
             self.t_lo,
             self.t_cnt,
         )
-        res = _unstack(np.asarray(out))
+        return (handle, B)
+
+    @staticmethod
+    def collect(handle_b) -> dict:
+        handle, B = handle_b
+        res = _unstack(np.asarray(handle))
         return {key: v[:B] for key, v in res.items()}
+
+    def score_batch(self, codes, valid, win_len):
+        return self.collect(self.score_batch_async(codes, valid, win_len))

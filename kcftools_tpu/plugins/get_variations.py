@@ -22,6 +22,7 @@ from ..engine.pipeline import (
 from ..engine.prefix_scan import chromosome_stats_indirect, window_stats
 from ..engine.refindex import RefKmerIndex
 from ..engine.windows import (
+    batch_subsequences,
     bucket_pad_len,
     pad_batch_varlen,
     sliding_windows,
@@ -122,10 +123,35 @@ def run(args):
     if use_hybrid:
         scorer = None  # no device hash table needed
     else:
+        import jax
+
         table = build_table(
             kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands
         )
-        scorer = WindowScorer(table, min_count=args.min_k_count)
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            # shard window batches across all chips (the thread-pool
+            # analog); add table-axis sharding when the table outgrows a
+            # single device's memory
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharded import ShardedWindowScorer
+
+            table_axis = 1
+            if table.nbytes > 4 << 30:
+                table_axis = 2
+                while table.nbytes // table_axis > 4 << 30 and table_axis < n_dev:
+                    table_axis *= 2
+            while n_dev % table_axis:
+                table_axis //= 2
+            mesh = make_mesh(data=n_dev // table_axis, table=table_axis)
+            Logger.info(
+                _CLASS,
+                f"Using {n_dev} devices: mesh data={n_dev // table_axis} "
+                f"table={table_axis}",
+            )
+            scorer = ShardedWindowScorer(table, mesh, min_count=args.min_k_count)
+        else:
+            scorer = WindowScorer(table, min_count=args.min_k_count)
 
     header = KCFHeader()
     header.reference = args.reference
@@ -226,6 +252,13 @@ def _score_fixed_windows(args, index, name, k, scorer, sample):
     if len(starts) == 0:
         return None
     codes, valid = index.sequence_codes(name)
+
+    if not hasattr(scorer, "score_chunk_async"):
+        # mesh-sharded scorer: gather padded window batches on host and
+        # dispatch them data-parallel across the device mesh
+        return _score_fixed_windows_batched(
+            args, name, k, scorer, sample, codes, valid, starts, ends
+        )
     u8 = combine_u8(codes, valid)
 
     C, c_step, Lp, B = _chunk_geometry(args.window, args.step, k)
@@ -261,6 +294,33 @@ def _score_fixed_windows(args, index, name, k, scorer, sample):
     res = {
         key: np.concatenate(parts)[inv] for key, parts in res_parts.items()
     }
+    ids = [f"{name}_{s}" for s in starts]
+    return _make_block(sample, name, starts, ends, ids, res, k)
+
+
+def _score_fixed_windows_batched(
+    args, name, k, scorer, sample, codes, valid, starts, ends
+):
+    """Padded-batch dispatch for mesh-sharded scorers."""
+    pad_len = args.window + PAD_MARGIN
+    bsz = max(1, _BATCH_POSITIONS // pad_len)
+    handles = []
+    for off in range(0, len(starts), bsz):
+        s = starts[off : off + bsz]
+        e = ends[off : off + bsz]
+        bcodes, bvalid, win_len = batch_subsequences(codes, valid, s, e, pad_len)
+        if len(s) < bsz:
+            padn = bsz - len(s)
+            bcodes = np.vstack([bcodes, np.zeros((padn, pad_len), np.uint32)])
+            bvalid = np.vstack([bvalid, np.zeros((padn, pad_len), bool)])
+            win_len = np.concatenate([win_len, np.zeros(padn, np.int32)])
+        handles.append((scorer.score_batch_async(bcodes, bvalid, win_len), len(s)))
+    parts = {}
+    for handle, n_real in handles:
+        out = scorer.collect(handle)
+        for key, v in out.items():
+            parts.setdefault(key, []).append(v[:n_real])
+    res = {key: np.concatenate(vs) for key, vs in parts.items()}
     ids = [f"{name}_{s}" for s in starts]
     return _make_block(sample, name, starts, ends, ids, res, k)
 
