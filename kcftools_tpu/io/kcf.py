@@ -494,20 +494,75 @@ def format_block_rows(block: WindowBlock):
         yield "\t".join(parts)
 
 
+_flt_cache = {}
+
+
+def _flt_cached(v):
+    key = float(v)
+    s = _flt_cache.get(key)
+    if s is None:
+        s = javafmt.flt(v)
+        _flt_cache[key] = s
+    return s
+
+
+def _pack_strs(strings):
+    """(bytes_buffer, offsets, lengths) for a list of strings."""
+    lens = np.fromiter((len(s) for s in strings), np.int64, len(strings))
+    offs = np.zeros(len(strings), np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return "".join(strings).encode(), offs, lens
+
+
+def format_block_bytes(block: WindowBlock):
+    """Render a block's rows to bytes via the native formatter, falling
+    back to the Python path; rows near a %.2f rounding tie are re-rendered
+    exactly."""
+    from ..native import format_kcf_rows
+
+    if not block.present.all():
+        Logger.error(
+            _CLASS, "Cannot write KCF: some windows are missing sample data"
+        )
+    (
+        min_ob, max_ob, mean_ob, min_va, max_va, mean_va,
+        min_sc, max_sc, mean_sc,
+    ) = block.info_stats()
+    mv_strings = [_flt_cached(v) for v in mean_va]
+    names_buf, name_off, name_len = _pack_strs(block.seq_names)
+    ids_buf, id_off, id_len = _pack_strs(block.window_id)
+    mv_buf, mv_off, mv_len = _pack_strs(mv_strings)
+    res = format_kcf_rows(
+        names_buf, name_off, name_len, ids_buf, id_off, id_len,
+        block.start, block.end, block.total_kmers, block.eff_length,
+        min_sc, max_sc, mean_sc, min_ob, max_ob, mean_ob, min_va, max_va,
+        mv_buf, mv_off, mv_len,
+        block.ibs, block.va, block.ob, block.inner, block.left, block.right,
+        block.mean_kd, block.score,
+    )
+    if res is None:
+        return ("\n".join(format_block_rows(block)) + "\n").encode()
+    data, tie_rows = res
+    if len(tie_rows):
+        lines = data.split(b"\n")
+        sub = block.select(tie_rows)
+        for li, row in zip(tie_rows, format_block_rows(sub)):
+            lines[li] = row.encode()
+        data = b"\n".join(lines)
+    return data
+
+
 class KCFWriter:
     def __init__(self, path):
         self.path = path
-        self._fh = open(path, "w")
+        self._fh = open(path, "wb")
         Logger.info(_CLASS, f"Writing KCF file: {path}")
 
     def write_header(self, header: KCFHeader):
-        self._fh.write(header.to_string())
+        self._fh.write(header.to_string().encode())
 
     def write_block(self, block: WindowBlock):
-        fh = self._fh
-        for row in format_block_rows(block):
-            fh.write(row)
-            fh.write("\n")
+        self._fh.write(format_block_bytes(block))
 
     def close(self):
         self._fh.close()
@@ -547,33 +602,68 @@ class KCFReader:
         ncols = 7 + 8 * s
         block = WindowBlock(n, samples)
 
+        # native path: single-pass C++ parse
+        from ..native import parse_kcf_rows
+
+        raw = ("\n".join(lines) + "\n").encode()
+        res = parse_kcf_rows(raw, s, n)
+        if res is not None and res["rows"] == n:
+            cols, per = res["cols"], res["per"]
+            block.start = cols["start"][:n]
+            block.end = cols["end"][:n]
+            block.total_kmers = cols["total"][:n]
+            block.eff_length = cols["efflen"][:n]
+            no, nl = cols["name_off"], cols["name_len"]
+            io_, il = cols["id_off"], cols["id_len"]
+            block.seq_names = [
+                raw[no[i] : no[i] + nl[i]].decode() for i in range(n)
+            ]
+            block.window_id = [
+                raw[io_[i] : io_[i] + il[i]].decode() for i in range(n)
+            ]
+            block.ibs = per["ibs"][:, :n]
+            block.va = per["va"][:, :n]
+            block.ob = per["ob"][:, :n]
+            block.inner = per["inner"][:, :n]
+            block.left = per["ld"][:, :n]
+            block.right = per["rd"][:, :n]
+            block.kmer_count = per["kmer_count"][:, :n]
+            block.finalize(header.weights)
+            return block
+
         # fast path: one flat split (sample fields are colon-joined with a
         # fixed 8-subfield layout; window IDs never contain ':' or tabs)
         flat = "\t".join(lines).replace(":", "\t").split("\t")
         # FORMAT column contributes 8 tokens (GT..SC) after ':' expansion
-        tokens_per_row = 6 + 8 + 8 * s
-        if len(flat) == n * tokens_per_row:
-            arr = np.array(flat, dtype=object).reshape(n, tokens_per_row)
-            block.seq_names = list(arr[:, 0])
-            block.start = arr[:, 1].astype(np.int64)
-            block.end = arr[:, 2].astype(np.int64)
-            block.window_id = list(arr[:, 3])
-            block.total_kmers = arr[:, 4].astype(np.int64)
-            info = arr[:, 5]
+        T = 6 + 8 + 8 * s
+        if len(flat) == n * T:
+            # column access via C-level list slicing; numpy parses string
+            # lists directly into numeric dtypes
+            def col(j, dtype=None):
+                c = flat[j::T]
+                return c if dtype is None else np.array(c, dtype=dtype)
+
+            block.seq_names = col(0)
+            block.start = col(1, np.int64)
+            block.end = col(2, np.int64)
+            block.window_id = col(3)
+            block.total_kmers = col(4, np.int64)
             block.eff_length = np.array(
-                [_parse_efflen(v) for v in info], dtype=np.int64
+                [_parse_efflen(v) for v in col(5)], dtype=np.int64
             )
             base = 14  # 6 fixed + 8 FORMAT tokens
             for j in range(s):
                 off = base + 8 * j
-                ib = arr[:, off]
-                block.ibs[j] = np.where(ib == "N", "-1", ib).astype(np.int64)
-                block.va[j] = arr[:, off + 1].astype(np.int64)
-                block.ob[j] = arr[:, off + 2].astype(np.int64)
-                block.inner[j] = arr[:, off + 3].astype(np.int64)
-                block.left[j] = arr[:, off + 4].astype(np.int64)
-                block.right[j] = arr[:, off + 5].astype(np.int64)
-                kd = arr[:, off + 6].astype(np.float64)
+                ib = col(off)
+                block.ibs[j] = np.array(
+                    [-1 if v == "N" else int(v) for v in ib], np.int64
+                )
+                block.va[j] = col(off + 1, np.int64)
+                block.ob[j] = col(off + 2, np.int64)
+                block.inner[j] = col(off + 3, np.int64)
+                block.left[j] = col(off + 4, np.int64)
+                block.right[j] = col(off + 5, np.int64)
+                kd = col(off + 6, np.float64)
                 block.kmer_count[j] = java_round(kd * block.ob[j])
         else:
             # robust path (IDs containing ':' etc.)

@@ -80,6 +80,28 @@ def get_lib():
             i32p, i64p, i64p, i64p,    # pp p_var p_dist n_present
             i32p, i32p, i64p, i64p,    # run_start run_end f_run n_runs
         ]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.kcf_format_rows.restype = ctypes.c_int64
+        lib.kcf_format_rows.argtypes = (
+            [ctypes.c_char_p, i64p, i64p]          # names
+            + [ctypes.c_char_p, i64p, i64p]        # ids
+            + [i64p] * 4                           # starts ends totals efflen
+            + [f64p] * 3 + [i64p] * 2 + [f32p]     # sc stats, ob stats
+            + [i64p] * 2                           # va stats
+            + [ctypes.c_char_p, i64p, i64p]        # mv strings
+            + [i64p] * 6 + [f64p] * 2              # per-sample
+            + [ctypes.c_int64, ctypes.c_int64]
+            + [ctypes.c_char_p, ctypes.c_int64]
+            + [i64p, i64p]
+        )
+        lib.kcf_parse_rows.restype = ctypes.c_int64
+        lib.kcf_parse_rows.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+            + [i64p] * 8
+            + [i64p] * 7
+            + [ctypes.POINTER(ctypes.c_double)]
+        )
         _lib = lib
     except Exception as e:  # pragma: no cover - environment dependent
         Logger.warning(_CLASS, f"native library unavailable ({e}); using numpy")
@@ -224,6 +246,107 @@ def chrom_stats_native(counts, r_idx, base_valid, min_count, k,
         "f_run": f_run[: nr + 1],
         "k": k,
     }
+
+
+def parse_kcf_rows(text: bytes, n_samples: int, max_rows: int):
+    """Native KCF data-row parse. Returns a dict of numeric columns plus
+    (name_off, name_len, id_off, id_len) token offsets, or None when the
+    native library is unavailable or the input is malformed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    cols = {
+        name: np.empty(max_rows, np.int64)
+        for name in (
+            "start", "end", "total", "efflen",
+            "name_off", "name_len", "id_off", "id_len",
+        )
+    }
+    per = {
+        name: np.empty((n_samples, max_rows), np.int64)
+        for name in ("ibs", "va", "ob", "inner", "ld", "rd", "kmer_count")
+    }
+    kd = np.empty((n_samples, max_rows), np.float64)
+    rows = lib.kcf_parse_rows(
+        text,
+        len(text),
+        n_samples,
+        max_rows,
+        *(cols[name].ctypes.data_as(i64p) for name in (
+            "start", "end", "total", "efflen",
+            "name_off", "name_len", "id_off", "id_len",
+        )),
+        *(per[name].ctypes.data_as(i64p) for name in (
+            "ibs", "va", "ob", "inner", "ld", "rd", "kmer_count",
+        )),
+        kd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rows < 0:
+        return None
+    return {"rows": int(rows), "cols": cols, "per": per, "kd": kd}
+
+
+def format_kcf_rows(
+    names_buf, name_off, name_len, ids_buf, id_off, id_len,
+    starts, ends, totals, efflen,
+    min_sc, max_sc, mean_sc, min_ob, max_ob, mean_ob, min_va, max_va,
+    mv_buf, mv_off, mv_len,
+    ibs, va, ob, inner, ld, rd, kd, sc,
+):
+    """Native KCF row formatter. Returns (bytes, tie_row_indices) or None.
+    Rows listed in tie_row_indices sit near a %.2f rounding tie and must
+    be re-rendered with exact decimal arithmetic by the caller."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(starts)
+    s = ibs.shape[0]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    def I(a):
+        return np.ascontiguousarray(a, np.int64).ctypes.data_as(i64p)
+
+    def D(a):
+        return np.ascontiguousarray(a, np.float64).ctypes.data_as(f64p)
+
+    cap = len(names_buf) + len(ids_buf) + len(mv_buf) + n * (4200 + 70 * s)
+    out = np.empty(cap, np.uint8)  # not zeroed; C writes sequentially
+    tie_rows = np.empty(n, np.int64)
+    n_tie = np.zeros(1, np.int64)
+    # keep converted arrays alive for the duration of the call
+    keep = [
+        np.ascontiguousarray(x, np.int64)
+        for x in (name_off, name_len, id_off, id_len, starts, ends, totals,
+                  efflen, min_ob, max_ob, min_va, max_va, mv_off, mv_len,
+                  ibs, va, ob, inner, ld, rd)
+    ]
+    keepd = [np.ascontiguousarray(x, np.float64) for x in (min_sc, max_sc, mean_sc, kd, sc)]
+    mean_ob32 = np.ascontiguousarray(mean_ob, np.float32)
+    written = lib.kcf_format_rows(
+        names_buf, keep[0].ctypes.data_as(i64p), keep[1].ctypes.data_as(i64p),
+        ids_buf, keep[2].ctypes.data_as(i64p), keep[3].ctypes.data_as(i64p),
+        keep[4].ctypes.data_as(i64p), keep[5].ctypes.data_as(i64p),
+        keep[6].ctypes.data_as(i64p), keep[7].ctypes.data_as(i64p),
+        keepd[0].ctypes.data_as(f64p), keepd[1].ctypes.data_as(f64p),
+        keepd[2].ctypes.data_as(f64p),
+        keep[8].ctypes.data_as(i64p), keep[9].ctypes.data_as(i64p),
+        mean_ob32.ctypes.data_as(f32p),
+        keep[10].ctypes.data_as(i64p), keep[11].ctypes.data_as(i64p),
+        mv_buf, keep[12].ctypes.data_as(i64p), keep[13].ctypes.data_as(i64p),
+        keep[14].ctypes.data_as(i64p), keep[15].ctypes.data_as(i64p),
+        keep[16].ctypes.data_as(i64p), keep[17].ctypes.data_as(i64p),
+        keep[18].ctypes.data_as(i64p), keep[19].ctypes.data_as(i64p),
+        keepd[3].ctypes.data_as(f64p), keepd[4].ctypes.data_as(f64p),
+        n, s,
+        ctypes.cast(out.ctypes.data, ctypes.c_char_p), cap,
+        tie_rows.ctypes.data_as(i64p), n_tie.ctypes.data_as(i64p),
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes(), tie_rows[: int(n_tie[0])]
 
 
 def build_table_native(hi, lo, counts, nb):

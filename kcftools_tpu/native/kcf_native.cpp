@@ -14,7 +14,10 @@
 // Build: g++ -O3 -shared -fPIC -o libkcfnative.so kcf_native.cpp
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -271,6 +274,247 @@ void kcf_chrom_stats(const uint32_t* counts_pos, const int32_t* r_idx,
   kcf_chrom_stats2(counts_pos, 0, r_idx, n_pos, base_valid, L, min_count, k,
                    cs_tot, cs_obs, cs_cnt, pp, p_var, p_dist, n_present,
                    run_start, run_end, f_run, n_runs);
+}
+
+// KCF data-row parser: one pass over the raw text of data rows.
+// Fields: CHROM START END ID TOTAL_KMERS INFO FORMAT sample...
+// with sample = IB:VA:OB:ID:LD:RD:KD:SC. Emits numeric columns directly
+// (k-mer totals reconstituted as floor(KD*OB + 0.5), Java Math.round)
+// plus byte offsets of the CHROM and ID tokens so the caller only
+// materializes 2n Python strings.
+// Returns number of rows parsed, or -1 on malformed input.
+int64_t kcf_parse_rows(const char* text, int64_t len, int64_t n_samples,
+                       int64_t max_rows,
+                       int64_t* starts, int64_t* ends, int64_t* totals,
+                       int64_t* efflen,
+                       int64_t* name_off, int64_t* name_len,
+                       int64_t* id_off, int64_t* id_len,
+                       // per-sample arrays, laid out (n_samples, max_rows)
+                       int64_t* ibs, int64_t* va, int64_t* ob, int64_t* inner,
+                       int64_t* ld, int64_t* rd, int64_t* kmer_count,
+                       double* score_kd) {
+  int64_t row = 0;
+  int64_t i = 0;
+  while (i < len && row < max_rows) {
+    // skip blank lines
+    if (text[i] == '\n') {
+      ++i;
+      continue;
+    }
+    // CHROM
+    int64_t tok = i;
+    while (i < len && text[i] != '\t') ++i;
+    if (i >= len) return -1;
+    name_off[row] = tok;
+    name_len[row] = i - tok;
+    ++i;
+    auto parse_int = [&](char stop1, char stop2) -> int64_t {
+      bool neg = false;
+      if (i < len && text[i] == '-') {
+        neg = true;
+        ++i;
+      }
+      int64_t v = 0;
+      while (i < len && text[i] != stop1 && text[i] != stop2 &&
+             text[i] != '\n') {
+        v = v * 10 + (text[i] - '0');
+        ++i;
+      }
+      if (i < len && (text[i] == stop1 || text[i] == stop2)) ++i;
+      return neg ? -v : v;
+    };
+    auto parse_double = [&](char stop1, char stop2) -> double {
+      int64_t tok0 = i;
+      while (i < len && text[i] != stop1 && text[i] != stop2 &&
+             text[i] != '\n') ++i;
+      // bounded copy for strtod (fields are short)
+      char buf[64];
+      int64_t m = i - tok0;
+      if (m > 63) m = 63;
+      std::memcpy(buf, text + tok0, m);
+      buf[m] = 0;
+      if (i < len && (text[i] == stop1 || text[i] == stop2)) ++i;
+      return strtod(buf, nullptr);
+    };
+    starts[row] = parse_int('\t', '\t');
+    ends[row] = parse_int('\t', '\t');
+    tok = i;
+    while (i < len && text[i] != '\t') ++i;
+    if (i >= len) return -1;
+    id_off[row] = tok;
+    id_len[row] = i - tok;
+    ++i;
+    totals[row] = parse_int('\t', '\t');
+    // INFO: find "EFFLEN=" then the integer, then skip to tab
+    int64_t ev = -1;
+    while (i < len && text[i] != '\t') {
+      if (text[i] == 'E' && i + 7 < len &&
+          std::memcmp(text + i, "EFFLEN=", 7) == 0) {
+        i += 7;
+        ev = 0;
+        while (i < len && text[i] >= '0' && text[i] <= '9') {
+          ev = ev * 10 + (text[i] - '0');
+          ++i;
+        }
+      } else {
+        ++i;
+      }
+    }
+    if (ev < 0 || i >= len) return -1;
+    efflen[row] = ev;
+    ++i;
+    // FORMAT column: skip
+    while (i < len && text[i] != '\t') ++i;
+    if (i >= len) return -1;
+    ++i;
+    for (int64_t sidx = 0; sidx < n_samples; ++sidx) {
+      int64_t at = sidx * max_rows + row;
+      if (text[i] == 'N' && (text[i + 1] == ':')) {
+        ibs[at] = -1;
+        i += 2;
+      } else {
+        ibs[at] = parse_int(':', ':');
+      }
+      va[at] = parse_int(':', ':');
+      ob[at] = parse_int(':', ':');
+      inner[at] = parse_int(':', ':');
+      ld[at] = parse_int(':', ':');
+      rd[at] = parse_int(':', ':');
+      double kd = parse_double(':', ':');
+      score_kd[at] = kd;
+      // Java Math.round(kd * ob): floor(x + 0.5)
+      double prod = kd * (double)ob[at];
+      kmer_count[at] = (int64_t)std::floor(prod + 0.5);
+      // SC field: skip (always recomputed)
+      while (i < len && text[i] != '\t' && text[i] != '\n') ++i;
+      if (i < len && text[i] == '\t') ++i;
+    }
+    if (i < len && text[i] == '\n') ++i;
+    ++row;
+  }
+  return row;
+}
+
+namespace {
+
+// %.2f formatting with Java HALF_UP semantics for the common case.
+// Exact decimal ties (x*100 ends in .5 exactly) differ between C's
+// round-half-even and Java's HALF_UP; values near a tie are flagged so
+// the caller can reformat those rows with exact decimal arithmetic.
+inline bool near_tie2(double x) {
+  double scaled = std::fabs(x) * 100.0;
+  double frac = scaled - std::floor(scaled);
+  double tol = 1e-9 * (scaled > 1.0 ? scaled : 1.0);
+  return std::fabs(frac - 0.5) <= tol;
+}
+
+inline char* fmt_f2(char* p, double x) {
+  int n = snprintf(p, 32, "%.2f", x);
+  return p + n;
+}
+
+inline char* fmt_i64(char* p, int64_t v) {
+  int n = snprintf(p, 24, "%lld", (long long)v);
+  return p + n;
+}
+
+inline char* put_str(char* p, const char* s, int64_t n) {
+  std::memcpy(p, s, n);
+  return p + n;
+}
+
+}  // namespace
+
+// Format KCF data rows into `out`. Returns the number of bytes written,
+// or -(row+1) if row overflowed the per-row budget. Rows whose KD/SC/
+// stat values sit near a rounding tie are recorded in tie_rows
+// (n_tie_rows entries) and must be re-rendered exactly by the caller.
+// Layout of per-sample arrays: (n_samples, n_rows).
+int64_t kcf_format_rows(
+    const char* names, const int64_t* name_off, const int64_t* name_len,
+    const char* ids, const int64_t* id_off, const int64_t* id_len,
+    const int64_t* starts, const int64_t* ends, const int64_t* totals,
+    const int64_t* efflen,
+    // INFO stats (per row)
+    const double* min_sc, const double* max_sc, const double* mean_sc,
+    const int64_t* min_ob, const int64_t* max_ob, const float* mean_ob,
+    const int64_t* min_va, const int64_t* max_va, const char* mv_strs,
+    const int64_t* mv_off, const int64_t* mv_len,
+    // per-sample
+    const int64_t* ibs, const int64_t* va, const int64_t* ob,
+    const int64_t* inner, const int64_t* ld, const int64_t* rd,
+    const double* kd, const double* sc,
+    int64_t n_rows, int64_t n_samples,
+    char* out, int64_t out_cap,
+    int64_t* tie_rows, int64_t* n_tie_rows) {
+  static const char kFormat[] = "GT:VA:OB:ID:LD:RD:KD:SC";
+  char* p = out;
+  int64_t nt = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    if ((p - out) + 4096 + 64 * n_samples > out_cap) return -(r + 1);
+    bool tie = near_tie2(min_sc[r]) || near_tie2(max_sc[r]) ||
+               near_tie2(mean_sc[r]) || near_tie2((double)mean_ob[r]);
+    p = put_str(p, names + name_off[r], name_len[r]);
+    *p++ = '\t';
+    p = fmt_i64(p, starts[r]);
+    *p++ = '\t';
+    p = fmt_i64(p, ends[r]);
+    *p++ = '\t';
+    p = put_str(p, ids + id_off[r], id_len[r]);
+    *p++ = '\t';
+    p = fmt_i64(p, totals[r]);
+    *p++ = '\t';
+    p = put_str(p, "EFFLEN=", 7);
+    p = fmt_i64(p, efflen[r]);
+    p = put_str(p, ";IS=", 4);
+    p = fmt_f2(p, min_sc[r]);
+    p = put_str(p, ";XS=", 4);
+    p = fmt_f2(p, max_sc[r]);
+    p = put_str(p, ";MS=", 4);
+    p = fmt_f2(p, mean_sc[r]);
+    p = put_str(p, ";IO=", 4);
+    p = fmt_i64(p, min_ob[r]);
+    p = put_str(p, ";XO=", 4);
+    p = fmt_i64(p, max_ob[r]);
+    p = put_str(p, ";MO=", 4);
+    p = fmt_f2(p, (double)mean_ob[r]);
+    p = put_str(p, ";IV=", 4);
+    p = fmt_i64(p, min_va[r]);
+    p = put_str(p, ";XV=", 4);
+    p = fmt_i64(p, max_va[r]);
+    p = put_str(p, ";MV=", 4);
+    p = put_str(p, mv_strs + mv_off[r], mv_len[r]);
+    *p++ = '\t';
+    p = put_str(p, kFormat, sizeof(kFormat) - 1);
+    for (int64_t sidx = 0; sidx < n_samples; ++sidx) {
+      int64_t at = sidx * n_rows + r;
+      *p++ = '\t';
+      if (ibs[at] == -1) {
+        *p++ = 'N';
+      } else {
+        p = fmt_i64(p, ibs[at]);
+      }
+      *p++ = ':';
+      p = fmt_i64(p, va[at]);
+      *p++ = ':';
+      p = fmt_i64(p, ob[at]);
+      *p++ = ':';
+      p = fmt_i64(p, inner[at]);
+      *p++ = ':';
+      p = fmt_i64(p, ld[at]);
+      *p++ = ':';
+      p = fmt_i64(p, rd[at]);
+      *p++ = ':';
+      p = fmt_f2(p, kd[at]);
+      *p++ = ':';
+      p = fmt_f2(p, sc[at]);
+      tie = tie || near_tie2(kd[at]) || near_tie2(sc[at]);
+    }
+    *p++ = '\n';
+    if (tie) tie_rows[nt++] = r;
+  }
+  *n_tie_rows = nt;
+  return p - out;
 }
 
 // 2-bit pack + validity for a byte sequence (ACGT/acgt -> 0..3).
