@@ -175,9 +175,24 @@ class FastaIndex:
             )
         if e.line_bases == 0:
             return np.empty(0, np.uint8)
-        idx = np.arange(start, end, dtype=np.int64)
-        off = e.offset + (idx // e.line_bases) * e.line_width + (idx % e.line_bases)
-        return np.asarray(self._mm[off])
+        lb, lw = e.line_bases, e.line_width
+        first_line = start // lb
+        last_line = (end - 1) // lb
+        lo = e.offset + first_line * lw
+        hi = min(e.offset + last_line * lw + lw, self._mm.shape[0])
+        raw = np.asarray(self._mm[lo:hi])
+        n_lines = last_line - first_line + 1
+        if raw.shape[0] >= n_lines * lw:
+            # whole lines available: strip line terminators via reshape
+            seq = raw[: n_lines * lw].reshape(n_lines, lw)[:, :lb].reshape(-1)
+        else:
+            # ragged tail (last line short): reshape what we can, append rest
+            full = raw.shape[0] // lw
+            head = raw[: full * lw].reshape(full, lw)[:, :lb].reshape(-1)
+            tail = raw[full * lw :][:lb]
+            seq = np.concatenate([head, tail])
+        s0 = start - first_line * lb
+        return seq[s0 : s0 + length]
 
     def get_sequence_bytes(self, name, start=None, length=None) -> np.ndarray:
         e = self.get_entry(name)

@@ -148,21 +148,33 @@ class KMCReader:
             raw = np.fromfile(fh, dtype=np.uint8, offset=4, count=n * rec)
         if raw.shape[0] < n * rec:
             Logger.error(_CLASS, f"Truncated suffix file: {self.suffix_file}")
-        raw = raw.reshape(n, rec)
 
+        from ..native import decode_kmc_records
+
+        lut_size = 1 << (2 * self.lut_prefix_length)
+        bounds_all = np.append(self.prefix_array, np.uint64(n))
+        fused = decode_kmc_records(
+            raw, n, suf_bytes, self.counter_size, bounds_all, lut_size,
+            self.suffix_length,
+        )
+        if fused is not None:
+            self.kmers, self.counts = fused
+            if (np.diff(bounds_all.astype(np.int64)) < 0).any():
+                Logger.error(_CLASS, f"Corrupt prefix array in {self.prefix_file}")
+            return
+        # numpy fallback
+        raw = raw.reshape(n, rec)
         # suffix: bytes hold 4 bases each, first base in the top 2 bits
         suffix = np.zeros(n, dtype=np.uint64)
         for j in range(suf_bytes):
             suffix = (suffix << np.uint64(8)) | raw[:, j].astype(np.uint64)
-
         # counter: little-endian 1..4 bytes
         counts = np.zeros(n, dtype=np.uint32)
         for j in range(self.counter_size):
             counts |= raw[:, suf_bytes + j].astype(np.uint32) << np.uint32(8 * j)
 
         # prefix of each record from the LUT-array bin boundaries
-        lut_size = 1 << (2 * self.lut_prefix_length)
-        bounds = np.append(self.prefix_array, np.uint64(n)).astype(np.int64)
+        bounds = bounds_all.astype(np.int64)
         per_bin = np.diff(bounds)
         if (per_bin < 0).any():
             Logger.error(_CLASS, f"Corrupt prefix array in {self.prefix_file}")

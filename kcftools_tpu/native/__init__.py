@@ -77,7 +77,7 @@ def get_lib():
             u32p, ctypes.c_int32, i32p, ctypes.c_int64, u8p, ctypes.c_int64,
             ctypes.c_uint32, ctypes.c_int32,
             i32p, i32p, i64p,          # cs_tot cs_obs cs_cnt
-            i32p, i64p, i64p, i64p,    # pp p_var p_dist n_present
+            i32p, i32p, i32p, i64p,    # pp p_var p_dist n_present
             i32p, i32p, i64p, i64p,    # run_start run_end f_run n_runs
         ]
         f64p = ctypes.POINTER(ctypes.c_double)
@@ -95,6 +95,16 @@ def get_lib():
             + [ctypes.c_char_p, ctypes.c_int64]
             + [i64p, i64p]
         )
+        u64p2 = ctypes.POINTER(ctypes.c_uint64)
+        lib.kcf_decode_suffix_records.restype = None
+        lib.kcf_decode_suffix_records.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u64p2, u32p,
+        ]
+        lib.kcf_decode_kmc_records.restype = None
+        lib.kcf_decode_kmc_records.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u64p2,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p2, u32p,
+        ]
         lib.kcf_parse_rows.restype = ctypes.c_int64
         lib.kcf_parse_rows.argtypes = (
             [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
@@ -172,7 +182,6 @@ def _buf(name, size, dtype):
         if cur is not None and cur.dtype == np.dtype(dtype):
             cap = max(cap, cur.shape[0] * 2)
         _scratch[name] = np.empty(cap, dtype)
-        _scratch[name][:] = 0  # force page commit once
     return _scratch[name][:size]
 
 
@@ -200,8 +209,8 @@ def chrom_stats_native(counts, r_idx, base_valid, min_count, k,
     cs_obs = _buf("cs_obs", n_pos + 1, np.int32)
     cs_cnt = _buf("cs_cnt", n_pos + 1, np.int64)
     pp = _buf("pp", max(n_pos, 1), np.int32)
-    p_var = _buf("p_var", n_pos + 2, np.int64)
-    p_dist = _buf("p_dist", n_pos + 2, np.int64)
+    p_var = _buf("p_var", n_pos + 2, np.int32)
+    p_dist = _buf("p_dist", n_pos + 2, np.int32)
     max_runs = L // 2 + 2
     run_start = _buf("run_start", max_runs, np.int32)
     run_end = _buf("run_end", max_runs, np.int32)
@@ -224,8 +233,8 @@ def chrom_stats_native(counts, r_idx, base_valid, min_count, k,
         cs_obs.ctypes.data_as(i32p),
         cs_cnt.ctypes.data_as(i64p),
         pp.ctypes.data_as(i32p),
-        p_var.ctypes.data_as(i64p),
-        p_dist.ctypes.data_as(i64p),
+        p_var.ctypes.data_as(i32p),
+        p_dist.ctypes.data_as(i32p),
         n_present.ctypes.data_as(i64p),
         run_start.ctypes.data_as(i32p),
         run_end.ctypes.data_as(i32p),
@@ -246,6 +255,50 @@ def chrom_stats_native(counts, r_idx, base_valid, min_count, k,
         "f_run": f_run[: nr + 1],
         "k": k,
     }
+
+
+def decode_suffix_records(raw: np.ndarray, n: int, suf_bytes: int,
+                          counter_size: int):
+    """(suffix uint64, count uint32) arrays from flat record bytes, or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, np.uint8)
+    suffixes = np.empty(n, np.uint64)
+    counts = np.empty(n, np.uint32)
+    lib.kcf_decode_suffix_records(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        suf_bytes,
+        counter_size,
+        suffixes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _u32p(counts),
+    )
+    return suffixes, counts
+
+
+def decode_kmc_records(raw, n, suf_bytes, counter_size, bounds, lut_size,
+                       suffix_len):
+    """Full (kmer uint64, count uint32) decode in one native pass, or
+    None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, np.uint8)
+    bounds = np.ascontiguousarray(bounds, np.uint64)
+    kmers = np.empty(n, np.uint64)
+    counts = np.empty(n, np.uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.kcf_decode_kmc_records(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, suf_bytes, counter_size,
+        bounds.ctypes.data_as(u64p),
+        bounds.shape[0] - 1, lut_size, suffix_len,
+        kmers.ctypes.data_as(u64p),
+        _u32p(counts),
+    )
+    return kmers, counts
 
 
 def parse_kcf_rows(text: bytes, n_samples: int, max_rows: int):

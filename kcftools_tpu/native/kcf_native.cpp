@@ -197,8 +197,8 @@ void kcf_chrom_stats2(const uint32_t* counts, int32_t indirect,
                       int32_t* cs_obs,   // (n_pos+1)
                       int64_t* cs_cnt,   // (n_pos+1)
                       int32_t* pp,       // (<= n_pos)
-                      int64_t* p_var,    // (<= n_pos+1)
-                      int64_t* p_dist,   // (<= n_pos+1)
+                      int32_t* p_var,    // (<= n_pos+1)
+                      int32_t* p_dist,   // (<= n_pos+1)
                       int64_t* n_present,
                       int32_t* run_start,  // (<= L/2+1)
                       int32_t* run_end,
@@ -224,11 +224,11 @@ void kcf_chrom_stats2(const uint32_t* counts, int32_t indirect,
         cnt += c;
         // gap before this present k-mer, in valid-k-mer ordinals
         int64_t gap = (np_ == 0) ? 0 : (int64_t)(tot - 1) - last_present_ord - 1;
-        int64_t dd = 0, hv = 0;
+        int32_t dd = 0, hv = 0;
         if (gap > 0) {
           int64_t dist = gap - (k - 1);
           if (dist <= 0) dist = (dist + 1 < 0) ? -(dist + 1) : dist + 1;
-          dd = dist;
+          dd = (int32_t)dist;
           hv = 1;
         }
         pp[np_] = (int32_t)i;
@@ -268,12 +268,56 @@ void kcf_chrom_stats(const uint32_t* counts_pos, const int32_t* r_idx,
                      int64_t n_pos, const uint8_t* base_valid, int64_t L,
                      uint32_t min_count, int32_t k, int32_t* cs_tot,
                      int32_t* cs_obs, int64_t* cs_cnt, int32_t* pp,
-                     int64_t* p_var, int64_t* p_dist, int64_t* n_present,
+                     int32_t* p_var, int32_t* p_dist, int64_t* n_present,
                      int32_t* run_start, int32_t* run_end, int64_t* f_run,
                      int64_t* n_runs) {
   kcf_chrom_stats2(counts_pos, 0, r_idx, n_pos, base_valid, L, min_count, k,
                    cs_tot, cs_obs, cs_cnt, pp, p_var, p_dist, n_present,
                    run_start, run_end, f_run, n_runs);
+}
+
+// KMC suffix-record decode: records are (suffix bytes, little-endian
+// counter); one pass producing packed suffix values and counts.
+void kcf_decode_suffix_records(const uint8_t* raw, int64_t n,
+                               int32_t suf_bytes, int32_t counter_size,
+                               uint64_t* suffixes, uint32_t* counts) {
+  int64_t rec = suf_bytes + counter_size;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = raw + i * rec;
+    uint64_t s = 0;
+    for (int32_t j = 0; j < suf_bytes; ++j) s = (s << 8) | p[j];
+    uint32_t c = 0;
+    for (int32_t j = 0; j < counter_size; ++j)
+      c |= (uint32_t)p[suf_bytes + j] << (8 * j);
+    suffixes[i] = s;
+    counts[i] = c;
+  }
+}
+
+// Fused KMC record decode + full-kmer reconstruction: walks the prefix
+// LUT bin boundaries while decoding records, emitting
+// kmer = (prefix << 2*suffix_len) | suffix directly
+// (prefix = bin index mod 4^lut, as in the reference's dumpKmerTable,
+// KMC.java:427-450). bounds has n_bins+1 entries (record-index ranges).
+void kcf_decode_kmc_records(const uint8_t* raw, int64_t n, int32_t suf_bytes,
+                            int32_t counter_size, const uint64_t* bounds,
+                            int64_t n_bins, int64_t lut_size,
+                            int32_t suffix_len, uint64_t* kmers,
+                            uint32_t* counts) {
+  int64_t rec = suf_bytes + counter_size;
+  int64_t bin = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    while (bin < n_bins && (uint64_t)i >= bounds[bin + 1]) ++bin;
+    uint64_t prefix = (uint64_t)(bin % lut_size);
+    const uint8_t* p = raw + i * rec;
+    uint64_t s = 0;
+    for (int32_t j = 0; j < suf_bytes; ++j) s = (s << 8) | p[j];
+    uint32_t c = 0;
+    for (int32_t j = 0; j < counter_size; ++j)
+      c |= (uint32_t)p[suf_bytes + j] << (8 * j);
+    kmers[i] = (prefix << (2 * suffix_len)) | s;
+    counts[i] = c;
+  }
 }
 
 // KCF data-row parser: one pass over the raw text of data rows.
