@@ -42,10 +42,27 @@ def _print_memory_usage():
         pass
 
 
+def _maybe_init_distributed():
+    """Multi-host init from env (no-op single-process):
+    KCFTOOLS_COORDINATOR=host:port KCFTOOLS_NUM_PROCS=N KCFTOOLS_PROC_ID=i
+    The device mesh code then spans all hosts (ICI within a slice, DCN
+    across)."""
+    n = int(os.environ.get("KCFTOOLS_NUM_PROCS", "1"))
+    if n > 1:
+        from .parallel.mesh import init_distributed
+
+        init_distributed(
+            os.environ.get("KCFTOOLS_COORDINATOR"),
+            n,
+            int(os.environ.get("KCFTOOLS_PROC_ID", "0")),
+        )
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     parser = build_parser()
     args = parser.parse_args(argv)
+    _maybe_init_distributed()
     start = time.time()
 
     # profiling: set KCFTOOLS_PROFILE=<dir> to capture a JAX/XLA trace

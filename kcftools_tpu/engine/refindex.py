@@ -27,12 +27,25 @@ _FORMAT_VERSION = 1
 
 
 class RefKmerIndex:
-    def __init__(self, kmers, chrom_names, chrom_r_idx, k, canonical):
-        self.kmers = kmers  # (n_r,) uint64 sorted unique
+    def __init__(self, kmers, chrom_names, chrom_r_idx, k, canonical,
+                 kmers_hi=None, kmers_lo=None):
+        self.kmers = kmers  # (n_r,) uint64 sorted unique (k <= 32)
+        self.kmers_hi = kmers_hi  # wide-k: 128-bit value limbs
+        self.kmers_lo = kmers_lo
         self.chrom_names = chrom_names
         self.chrom_r_idx = chrom_r_idx  # name -> int32 (L-k+1,), -1 invalid
         self.k = k
         self.canonical = canonical
+
+    @property
+    def wide(self):
+        return self.kmers_hi is not None
+
+    @property
+    def n_kmers(self):
+        return (
+            self.kmers_hi.shape[0] if self.wide else self.kmers.shape[0]
+        )
 
     @staticmethod
     def cache_path(fasta_path, k, canonical):
@@ -42,6 +55,8 @@ class RefKmerIndex:
     @classmethod
     def build(cls, index, k, canonical=True):
         """index: io.fasta.FastaIndex."""
+        if k > 32:
+            return cls._build_wide(index, k, canonical)
         names = index.get_sequence_names()
         per_chrom_kmers = {}
         per_chrom_valid = {}
@@ -81,6 +96,46 @@ class RefKmerIndex:
         return cls(R, names, chrom_r_idx, k, canonical)
 
     @classmethod
+    def _build_wide(cls, index, k, canonical=True):
+        from ..native import wide
+        from .encode_wide import canonicalize_wide, pack_kmers_wide, to_value_limbs
+
+        names = index.get_sequence_names()
+        per_chrom = {}
+        parts_hi, parts_lo = [], []
+        for name in names:
+            codes, valid = index.sequence_codes(name)
+            A, B, kvalid = pack_kmers_wide(codes, valid, k)
+            if canonical and A.size:
+                A, B = canonicalize_wide(A, B, k)
+            vhi, vlo = to_value_limbs(A, B, k)
+            per_chrom[name] = (vhi, vlo, kvalid)
+            if A.size:
+                uh, ul, _ = wide.sort_unique(vhi[kvalid], vlo[kvalid])
+                parts_hi.append(uh)
+                parts_lo.append(ul)
+        if parts_hi:
+            R_hi, R_lo, _ = wide.sort_unique(
+                np.concatenate(parts_hi), np.concatenate(parts_lo)
+            )
+        else:
+            R_hi = R_lo = np.empty(0, np.uint64)
+
+        chrom_r_idx = {}
+        for name in names:
+            vhi, vlo, kvalid = per_chrom[name]
+            chrom_r_idx[name] = wide.searchsorted(
+                R_hi, R_lo, vhi, vlo, kvalid.astype(np.uint8)
+            )
+        Logger.info(
+            _CLASS,
+            f"Built reference k-mer index: {R_hi.size} unique {k}-mers "
+            f"(wide) over {len(names)} sequences",
+        )
+        return cls(None, names, chrom_r_idx, k, canonical,
+                   kmers_hi=R_hi, kmers_lo=R_lo)
+
+    @classmethod
     def load_or_build(cls, fasta_path, index, k, canonical=True):
         path = cls.cache_path(fasta_path, k, canonical)
         if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(
@@ -90,13 +145,13 @@ class RefKmerIndex:
                 with np.load(path, allow_pickle=False) as z:
                     if int(z["format_version"][0]) == _FORMAT_VERSION:
                         names = [str(n) for n in z["chrom_names"]]
-                        obj = cls(
-                            z["kmers"],
-                            names,
-                            {n: z[f"ridx_{i}"] for i, n in enumerate(names)},
-                            k,
-                            canonical,
-                        )
+                        ridx = {n: z[f"ridx_{i}"] for i, n in enumerate(names)}
+                        if "kmers_hi" in z.files:
+                            obj = cls(None, names, ridx, k, canonical,
+                                      kmers_hi=z["kmers_hi"],
+                                      kmers_lo=z["kmers_lo"])
+                        else:
+                            obj = cls(z["kmers"], names, ridx, k, canonical)
                         Logger.info(_CLASS, f"Loaded cached index: {path}")
                         return obj
             except Exception as e:
@@ -105,9 +160,13 @@ class RefKmerIndex:
         try:
             payload = {
                 "format_version": np.array([_FORMAT_VERSION]),
-                "kmers": obj.kmers,
                 "chrom_names": np.array(obj.chrom_names),
             }
+            if obj.wide:
+                payload["kmers_hi"] = obj.kmers_hi
+                payload["kmers_lo"] = obj.kmers_lo
+            else:
+                payload["kmers"] = obj.kmers
             for i, n in enumerate(obj.chrom_names):
                 payload[f"ridx_{i}"] = obj.chrom_r_idx[n]
             np.savez(path, **payload)

@@ -118,11 +118,12 @@ class KMCReader:
             (self.version,) = struct.unpack("<i", hdr[64:68])
             if self.version != 0x200:
                 Logger.error(_CLASS, "KMC version is not 0x200")
-            if self.kmer_length > 32:
+            if self.kmer_length > 64:
                 Logger.error(
                     _CLASS,
-                    f"k={self.kmer_length} > 32 not supported by this build",
+                    f"k={self.kmer_length} > 64 not supported by this build",
                 )
+            self.wide = self.kmer_length > 32
             self.suffix_length = self.kmer_length - self.lut_prefix_length
 
             sig_map_size = (1 << (2 * self.signature_length)) + 1
@@ -149,18 +150,25 @@ class KMCReader:
         if raw.shape[0] < n * rec:
             Logger.error(_CLASS, f"Truncated suffix file: {self.suffix_file}")
 
-        from ..native import decode_kmc_records
+        from ..native import decode_kmc_records, wide
 
         lut_size = 1 << (2 * self.lut_prefix_length)
         bounds_all = np.append(self.prefix_array, np.uint64(n))
+        if (np.diff(bounds_all.astype(np.int64)) < 0).any():
+            Logger.error(_CLASS, f"Corrupt prefix array in {self.prefix_file}")
+        if self.wide:
+            self.kmers_hi, self.kmers_lo, self.counts = wide.decode_kmc_records(
+                raw, n, suf_bytes, self.counter_size, bounds_all, lut_size,
+                self.suffix_length,
+            )
+            self.kmers = None
+            return
         fused = decode_kmc_records(
             raw, n, suf_bytes, self.counter_size, bounds_all, lut_size,
             self.suffix_length,
         )
         if fused is not None:
             self.kmers, self.counts = fused
-            if (np.diff(bounds_all.astype(np.int64)) < 0).any():
-                Logger.error(_CLASS, f"Corrupt prefix array in {self.prefix_file}")
             return
         # numpy fallback
         raw = raw.reshape(n, rec)
@@ -232,8 +240,15 @@ def write_kmc_db(
     """Write a KMC3-format database readable by both this package and the
     reference Java implementation.
 
-    ``kmers`` must be unique packed k-mers (canonical if both_strands).
+    ``kmers`` must be unique packed k-mers (canonical if both_strands):
+    a uint64 array for k <= 32, or a (hi, lo) tuple of 128-bit value
+    limbs for 32 < k <= 64.
     """
+    if isinstance(kmers, tuple):
+        return _write_kmc_db_wide(
+            db_prefix, kmers[0], kmers[1], counts, k, sig_len, lut_len,
+            counter_size, both_strands, min_count, max_count, mode,
+        )
     kmers = np.asarray(kmers, dtype=np.uint64)
     counts = np.asarray(counts, dtype=np.uint64)
     if lut_len is None:
@@ -281,16 +296,18 @@ def write_kmc_db(
     for j in range(counter_size):
         rec[:, suf_bytes + j] = (counts_s >> np.uint64(8 * j)) & np.uint64(0xFF)
 
+    _emit_kmc_files(
+        db_prefix, prefix_array, sig_map, rec, n, k, mode, counter_size,
+        lut_len, sig_len, min_count, max_count, both_strands,
+    )
+
+
+def _emit_kmc_files(db_prefix, prefix_array, sig_map, rec, n, k, mode,
+                    counter_size, lut_len, sig_len, min_count, max_count,
+                    both_strands):
     header = struct.pack(
-        "<7iq",
-        k,
-        mode,
-        counter_size,
-        lut_len,
-        sig_len,
-        min_count,
-        max_count,
-        n,
+        "<7iq", k, mode, counter_size, lut_len, sig_len, min_count,
+        max_count, n,
     )
     header += bytes([0 if both_strands else 1, 0, 0, 0])
     header += b"\x00" * 24
@@ -310,3 +327,58 @@ def write_kmc_db(
         fh.write(b"KMCS")
         fh.write(rec.tobytes())
         fh.write(b"KMCS")
+
+
+def _write_kmc_db_wide(db_prefix, khi, klo, counts, k, sig_len, lut_len,
+                       counter_size, both_strands, min_count, max_count,
+                       mode):
+    """Wide-k (33..64) database writer; kmers as 128-bit value limbs."""
+    from ..native import wide
+
+    khi = np.asarray(khi, np.uint64)
+    klo = np.asarray(klo, np.uint64)
+    counts = np.asarray(counts, np.uint64)
+    if lut_len is None:
+        lut_len = choose_lut_prefix_length(k)
+    suffix_len = k - lut_len
+    if suffix_len % 4 != 0:
+        raise ValueError("k - lut_prefix_length must be divisible by 4")
+    n = khi.shape[0]
+
+    norm = _build_norm(sig_len)
+    sigs = wide.signatures(khi, klo, k, sig_len, norm) if n else np.empty(0, np.uint32)
+    uniq_sigs = np.unique(sigs)
+    nbins = max(1, len(uniq_sigs))
+    sig_map = np.zeros((1 << (2 * sig_len)) + 1, dtype=np.uint32)
+    sig_map[uniq_sigs.astype(np.int64)] = np.arange(len(uniq_sigs), dtype=np.uint32)
+    bin_of_sig = {int(s): i for i, s in enumerate(uniq_sigs)}
+    bins = (
+        np.array([bin_of_sig[int(s)] for s in sigs], dtype=np.uint64)
+        if n
+        else np.empty(0, np.uint64)
+    )
+    order = np.lexsort((klo, khi, bins))
+    khi_s, klo_s = khi[order], klo[order]
+    counts_s = counts[order]
+    bins_s = bins[order]
+
+    lut_size = 1 << (2 * lut_len)
+    # prefix = v >> 2*suffix_len; 2*suffix_len >= 64 always for k > 32
+    r = 2 * suffix_len
+    prefix_of = khi_s >> np.uint64(r - 64)
+    keys = bins_s * np.uint64(lut_size) + prefix_of
+    prefix_array = np.searchsorted(
+        keys, np.arange(nbins * lut_size, dtype=np.uint64)
+    ).astype("<u8")
+
+    suf_bytes = suffix_len // 4
+    suffixes = wide.suffix_bytes(khi_s, klo_s, suf_bytes)
+    rec = np.zeros((n, suf_bytes + counter_size), dtype=np.uint8)
+    rec[:, :suf_bytes] = suffixes
+    for j in range(counter_size):
+        rec[:, suf_bytes + j] = (counts_s >> np.uint64(8 * j)) & np.uint64(0xFF)
+
+    _emit_kmc_files(
+        db_prefix, prefix_array, sig_map, rec, n, k, mode, counter_size,
+        lut_len, sig_len, min_count, max_count, both_strands,
+    )

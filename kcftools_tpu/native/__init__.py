@@ -105,6 +105,34 @@ def get_lib():
             u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u64p2,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p2, u32p,
         ]
+        lib.kcf_decode_kmc_records_wide.restype = None
+        lib.kcf_decode_kmc_records_wide.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u64p2,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p2, u64p2, u32p,
+        ]
+        lib.kcf_sort_unique_pairs.restype = ctypes.c_int64
+        lib.kcf_sort_unique_pairs.argtypes = [
+            u64p2, u64p2, u32p, ctypes.c_int64, u64p2, u64p2, u64p2,
+        ]
+        lib.kcf_merge_counts_wide.restype = None
+        lib.kcf_merge_counts_wide.argtypes = [
+            u64p2, u64p2, ctypes.c_int64, u64p2, u64p2, u32p, ctypes.c_int64,
+            u32p,
+        ]
+        lib.kcf_searchsorted_pairs.restype = None
+        lib.kcf_searchsorted_pairs.argtypes = [
+            u64p2, u64p2, ctypes.c_int64, u64p2, u64p2, u8p, ctypes.c_int64,
+            i32p,
+        ]
+        lib.kcf_signatures_wide.restype = None
+        lib.kcf_signatures_wide.argtypes = [
+            u64p2, u64p2, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u32p, u32p,
+        ]
+        lib.kcf_wide_suffix_bytes.restype = None
+        lib.kcf_wide_suffix_bytes.argtypes = [
+            u64p2, u64p2, ctypes.c_int64, ctypes.c_int32, u8p,
+        ]
         lib.kcf_parse_rows.restype = ctypes.c_int64
         lib.kcf_parse_rows.argtypes = (
             [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
@@ -299,6 +327,187 @@ def decode_kmc_records(raw, n, suf_bytes, counter_size, bounds, lut_size,
         _u32p(counts),
     )
     return kmers, counts
+
+
+def _u64p_of(a):
+    # NOTE: callers must pass arrays that are already uint64-contiguous
+    # (or hold a reference themselves) - a conversion temp created here
+    # would be freed before the foreign call runs.
+    assert a.dtype == np.uint64 and a.flags["C_CONTIGUOUS"], a.dtype
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+class _Wide:
+    """Namespace for 128-bit pair operations (native, with slow Python
+    fallbacks so the pure-numpy configuration stays correct)."""
+
+    @staticmethod
+    def decode_kmc_records(raw, n, suf_bytes, counter_size, bounds, lut_size,
+                           suffix_len):
+        lib = get_lib()
+        raw = np.ascontiguousarray(raw, np.uint8)
+        bounds = np.ascontiguousarray(bounds, np.uint64)
+        khi = np.empty(n, np.uint64)
+        klo = np.empty(n, np.uint64)
+        counts = np.empty(n, np.uint32)
+        if lib is None:
+            rec = suf_bytes + counter_size
+            b = np.asarray(bounds, np.int64)
+            bin_of = np.repeat(np.arange(len(b) - 1), np.diff(b))
+            for i in range(n):
+                p = raw[i * rec : i * rec + rec]
+                s = 0
+                for j in range(suf_bytes):
+                    s = (s << 8) | int(p[j])
+                c = 0
+                for j in range(counter_size):
+                    c |= int(p[suf_bytes + j]) << (8 * j)
+                v = ((int(bin_of[i]) % lut_size) << (2 * suffix_len)) | s
+                khi[i] = v >> 64
+                klo[i] = v & 0xFFFFFFFFFFFFFFFF
+                counts[i] = c
+            return khi, klo, counts
+        lib.kcf_decode_kmc_records_wide(
+            raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, suf_bytes, counter_size,
+            _u64p_of(bounds), bounds.shape[0] - 1, lut_size, suffix_len,
+            _u64p_of(khi), _u64p_of(klo), _u32p(counts),
+        )
+        return khi, klo, counts
+
+    @staticmethod
+    def sort_unique(hi, lo, counts=None):
+        lib = get_lib()
+        n = hi.shape[0]
+        if lib is None:
+            vals = [(int(h) << 64) | int(l) for h, l in zip(hi, lo)]
+            agg = {}
+            for i, v in enumerate(vals):
+                agg[v] = agg.get(v, 0) + (int(counts[i]) if counts is not None else 1)
+            keys = sorted(agg)
+            ohi = np.array([v >> 64 for v in keys], np.uint64)
+            olo = np.array([v & 0xFFFFFFFFFFFFFFFF for v in keys], np.uint64)
+            oc = np.array([agg[v] for v in keys], np.uint64)
+            return ohi, olo, oc
+        hi = np.ascontiguousarray(hi, np.uint64)
+        lo = np.ascontiguousarray(lo, np.uint64)
+        out_hi = np.empty(n, np.uint64)
+        out_lo = np.empty(n, np.uint64)
+        out_c = np.empty(n, np.uint64)
+        cptr = (
+            np.ascontiguousarray(counts, np.uint32) if counts is not None else None
+        )
+        m = lib.kcf_sort_unique_pairs(
+            _u64p_of(hi), _u64p_of(lo),
+            _u32p(cptr) if cptr is not None else None,
+            n,
+            _u64p_of(out_hi), _u64p_of(out_lo), _u64p_of(out_c),
+        )
+        return out_hi[:m].copy(), out_lo[:m].copy(), out_c[:m].copy()
+
+    @staticmethod
+    def merge_counts(rhi, rlo, dhi, dlo, dcounts):
+        lib = get_lib()
+        out = np.zeros(rhi.shape[0], np.uint32)
+        if lib is None:
+            table = {
+                (int(h) << 64) | int(l): int(c)
+                for h, l, c in zip(dhi, dlo, dcounts)
+            }
+            for i in range(rhi.shape[0]):
+                out[i] = table.get((int(rhi[i]) << 64) | int(rlo[i]), 0)
+            return out
+        rhi = np.ascontiguousarray(rhi, np.uint64)
+        rlo = np.ascontiguousarray(rlo, np.uint64)
+        dhi = np.ascontiguousarray(dhi, np.uint64)
+        dlo = np.ascontiguousarray(dlo, np.uint64)
+        dcounts = np.ascontiguousarray(dcounts, np.uint32)
+        lib.kcf_merge_counts_wide(
+            _u64p_of(rhi), _u64p_of(rlo), rhi.shape[0],
+            _u64p_of(dhi), _u64p_of(dlo),
+            _u32p(dcounts), dhi.shape[0],
+            _u32p(out),
+        )
+        return out
+
+    @staticmethod
+    def searchsorted(rhi, rlo, qhi, qlo, q_valid):
+        lib = get_lib()
+        nq = qhi.shape[0]
+        out = np.empty(nq, np.int32)
+        if lib is None:
+            pos = {
+                (int(h) << 64) | int(l): i for i, (h, l) in enumerate(zip(rhi, rlo))
+            }
+            for i in range(nq):
+                if q_valid is not None and not q_valid[i]:
+                    out[i] = -1
+                else:
+                    out[i] = pos.get((int(qhi[i]) << 64) | int(qlo[i]), -1)
+            return out
+        rhi = np.ascontiguousarray(rhi, np.uint64)
+        rlo = np.ascontiguousarray(rlo, np.uint64)
+        qhi = np.ascontiguousarray(qhi, np.uint64)
+        qlo = np.ascontiguousarray(qlo, np.uint64)
+        vptr = (
+            np.ascontiguousarray(q_valid, np.uint8) if q_valid is not None else None
+        )
+        lib.kcf_searchsorted_pairs(
+            _u64p_of(rhi), _u64p_of(rlo), rhi.shape[0],
+            _u64p_of(qhi), _u64p_of(qlo),
+            vptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            if vptr is not None
+            else None,
+            nq,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+
+    @staticmethod
+    def signatures(khi, klo, k, m, norm):
+        lib = get_lib()
+        n = khi.shape[0]
+        out = np.empty(n, np.uint32)
+        if lib is None:
+            mask = (1 << (2 * m)) - 1
+            for i in range(n):
+                v = (int(khi[i]) << 64) | int(klo[i])
+                best = min(
+                    int(norm[(v >> (2 * (k - m - t))) & mask])
+                    for t in range(k - m + 1)
+                )
+                out[i] = best
+            return out
+        khi = np.ascontiguousarray(khi, np.uint64)
+        klo = np.ascontiguousarray(klo, np.uint64)
+        norm = np.ascontiguousarray(norm, np.uint32)
+        lib.kcf_signatures_wide(
+            _u64p_of(khi), _u64p_of(klo), n, k, m,
+            _u32p(norm), _u32p(out),
+        )
+        return out
+
+    @staticmethod
+    def suffix_bytes(khi, klo, suf_bytes):
+        lib = get_lib()
+        n = khi.shape[0]
+        out = np.empty((n, suf_bytes), np.uint8)
+        if lib is None:
+            for i in range(n):
+                v = (int(khi[i]) << 64) | int(klo[i])
+                for j in range(suf_bytes):
+                    out[i, j] = (v >> (8 * (suf_bytes - 1 - j))) & 0xFF
+            return out
+        khi = np.ascontiguousarray(khi, np.uint64)
+        klo = np.ascontiguousarray(klo, np.uint64)
+        lib.kcf_wide_suffix_bytes(
+            _u64p_of(khi), _u64p_of(klo), n, suf_bytes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
+
+
+wide = _Wide
 
 
 def parse_kcf_rows(text: bytes, n_samples: int, max_rows: int):

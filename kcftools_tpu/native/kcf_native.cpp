@@ -561,6 +561,138 @@ int64_t kcf_format_rows(
   return p - out;
 }
 
+// ---- wide k-mer (33..64 bases) support: 128-bit kmers as (hi, lo) ----
+
+typedef unsigned __int128 u128;
+
+static inline u128 mk128(uint64_t hi, uint64_t lo) {
+  return ((u128)hi << 64) | lo;
+}
+
+// Wide KMC record decode: kmer = (prefix << 2*suffix_len) | suffix with
+// suffix up to 16 bytes. Limbs out as (hi, lo).
+void kcf_decode_kmc_records_wide(const uint8_t* raw, int64_t n,
+                                 int32_t suf_bytes, int32_t counter_size,
+                                 const uint64_t* bounds, int64_t n_bins,
+                                 int64_t lut_size, int32_t suffix_len,
+                                 uint64_t* khi, uint64_t* klo,
+                                 uint32_t* counts) {
+  int64_t rec = suf_bytes + counter_size;
+  int64_t bin = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    while (bin < n_bins && (uint64_t)i >= bounds[bin + 1]) ++bin;
+    u128 prefix = (u128)(bin % lut_size);
+    const uint8_t* p = raw + i * rec;
+    u128 s = 0;
+    for (int32_t j = 0; j < suf_bytes; ++j) s = (s << 8) | p[j];
+    uint32_t c = 0;
+    for (int32_t j = 0; j < counter_size; ++j)
+      c |= (uint32_t)p[suf_bytes + j] << (8 * j);
+    u128 v = (prefix << (2 * suffix_len)) | s;
+    khi[i] = (uint64_t)(v >> 64);
+    klo[i] = (uint64_t)v;
+    counts[i] = c;
+  }
+}
+
+// Sort (hi, lo) pairs ascending and sum counts of duplicates.
+// Returns the number of unique pairs (counts may be null -> dedupe only,
+// emitting count 1 per unique when out_counts is non-null).
+int64_t kcf_sort_unique_pairs(const uint64_t* hi, const uint64_t* lo,
+                              const uint32_t* counts, int64_t n,
+                              uint64_t* out_hi, uint64_t* out_lo,
+                              uint64_t* out_counts) {
+  std::vector<std::pair<u128, uint32_t>> v(n);
+  for (int64_t i = 0; i < n; ++i)
+    v[i] = {mk128(hi[i], lo[i]), counts ? counts[i] : 1u};
+  std::sort(v.begin(), v.end(),
+            [](const auto& a, const auto& b) { return a.first < b.first; });
+  int64_t m = 0;
+  for (int64_t i = 0; i < n;) {
+    u128 key = v[i].first;
+    uint64_t c = 0;
+    while (i < n && v[i].first == key) {
+      c += v[i].second;
+      ++i;
+    }
+    out_hi[m] = (uint64_t)(key >> 64);
+    out_lo[m] = (uint64_t)key;
+    if (out_counts) out_counts[m] = c;
+    ++m;
+  }
+  return m;
+}
+
+// Merge join over sorted 128-bit pair arrays.
+void kcf_merge_counts_wide(const uint64_t* rhi, const uint64_t* rlo,
+                           int64_t n_ref, const uint64_t* dhi,
+                           const uint64_t* dlo, const uint32_t* db_counts,
+                           int64_t n_db, uint32_t* out_counts) {
+  int64_t j = 0;
+  for (int64_t i = 0; i < n_ref; ++i) {
+    u128 key = mk128(rhi[i], rlo[i]);
+    while (j < n_db && mk128(dhi[j], dlo[j]) < key) ++j;
+    out_counts[i] =
+        (j < n_db && mk128(dhi[j], dlo[j]) == key) ? db_counts[j] : 0;
+  }
+}
+
+// Exact-match binary search of queries in a sorted pair array; -1 when
+// absent or the query is flagged invalid.
+void kcf_searchsorted_pairs(const uint64_t* rhi, const uint64_t* rlo,
+                            int64_t n_ref, const uint64_t* qhi,
+                            const uint64_t* qlo, const uint8_t* q_valid,
+                            int64_t n_q, int32_t* out_idx) {
+  for (int64_t i = 0; i < n_q; ++i) {
+    if (q_valid && !q_valid[i]) {
+      out_idx[i] = -1;
+      continue;
+    }
+    u128 key = mk128(qhi[i], qlo[i]);
+    int64_t lo_ = 0, hi_ = n_ref;
+    while (lo_ < hi_) {
+      int64_t mid = (lo_ + hi_) >> 1;
+      if (mk128(rhi[mid], rlo[mid]) < key)
+        lo_ = mid + 1;
+      else
+        hi_ = mid;
+    }
+    out_idx[i] =
+        (lo_ < n_ref && mk128(rhi[lo_], rlo[lo_]) == key) ? (int32_t)lo_ : -1;
+  }
+}
+
+// KMC signature (min m-mer norm) for wide k-mers.
+void kcf_signatures_wide(const uint64_t* khi, const uint64_t* klo, int64_t n,
+                         int32_t k, int32_t m, const uint32_t* norm,
+                         uint32_t* out) {
+  const u128 mask = ((u128)1 << (2 * m)) - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    u128 v = mk128(khi[i], klo[i]);
+    uint32_t best = 0xFFFFFFFFu;
+    for (int32_t t = 0; t <= k - m; ++t) {
+      uint32_t mm = (uint32_t)((v >> (2 * (k - m - t))) & mask);
+      uint32_t s = norm[mm];
+      if (s < best) best = s;
+    }
+    out[i] = best;
+  }
+}
+
+// Extract the byte at big-endian byte position j of the low 2*suffix_len
+// bits of each wide k-mer (for KMC suffix record emission).
+void kcf_wide_suffix_bytes(const uint64_t* khi, const uint64_t* klo,
+                           int64_t n, int32_t suf_bytes, uint8_t* out) {
+  // out laid out (n, suf_bytes)
+  for (int64_t i = 0; i < n; ++i) {
+    u128 v = mk128(khi[i], klo[i]);
+    for (int32_t j = 0; j < suf_bytes; ++j) {
+      out[i * suf_bytes + j] =
+          (uint8_t)((v >> (8 * (suf_bytes - 1 - j))) & 0xFF);
+    }
+  }
+}
+
 // 2-bit pack + validity for a byte sequence (ACGT/acgt -> 0..3).
 void kcf_encode_bases(const uint8_t* seq, int64_t n, uint8_t* codes,
                       uint8_t* valid) {

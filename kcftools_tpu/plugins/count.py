@@ -53,7 +53,9 @@ def add_parser(subparsers):
 
 
 def count_fasta_kmers(paths, k, canonical=True):
-    """Return (unique_kmers uint64, counts uint64) across all sequences."""
+    """Return (unique_kmers uint64, counts uint64) across all sequences.
+    For k > 32 returns ((hi, lo) value-limb tuple, counts)."""
+    wide_mode = k > 32
     all_kmers = []
     for path in paths:
         index = FastaIndex(path)
@@ -62,14 +64,38 @@ def count_fasta_kmers(paths, k, canonical=True):
             for off in range(0, L, _CHUNK):
                 end = min(off + _CHUNK + k - 1, L)
                 codes, valid = index.sequence_codes(name, off, end - off)
-                kmers, kvalid = pack_kmers(codes, valid, k)
-                kmers = kmers[kvalid]
-                if canonical:
-                    kmers = canonicalize(kmers, k)
-                if kmers.size:
-                    all_kmers.append(kmers)
+                if wide_mode:
+                    from ..engine.encode_wide import (
+                        canonicalize_wide,
+                        pack_kmers_wide,
+                        to_value_limbs,
+                    )
+
+                    A, B, kvalid = pack_kmers_wide(codes, valid, k)
+                    if canonical and A.size:
+                        A, B = canonicalize_wide(A, B, k)
+                    vhi, vlo = to_value_limbs(A, B, k)
+                    if kvalid.any():
+                        all_kmers.append((vhi[kvalid], vlo[kvalid]))
+                else:
+                    kmers, kvalid = pack_kmers(codes, valid, k)
+                    kmers = kmers[kvalid]
+                    if canonical:
+                        kmers = canonicalize(kmers, k)
+                    if kmers.size:
+                        all_kmers.append(kmers)
                 if end == L:
                     break
+    if wide_mode:
+        from ..native import wide as wide_ops
+
+        if not all_kmers:
+            e = np.empty(0, np.uint64)
+            return (e, e), e
+        hi = np.concatenate([p[0] for p in all_kmers])
+        lo = np.concatenate([p[1] for p in all_kmers])
+        uh, ul, counts = wide_ops.sort_unique(hi, lo)
+        return (uh, ul), counts
     if not all_kmers:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
     merged = np.concatenate(all_kmers)
@@ -80,15 +106,21 @@ def count_fasta_kmers(paths, k, canonical=True):
 def run(args):
     paths = args.input.split(",")
     k = args.kmer_size
-    if k < 10 or k > 32:
-        Logger.error(_CLASS, "k must be in [10, 32] (signature length 9)")
+    if k < 10 or k > 64:
+        Logger.error(_CLASS, "k must be in [10, 64] (signature length 9)")
     canonical = not args.single_strand
     Logger.info(_CLASS, f"Counting {k}-mers in {paths}")
     uniq, counts = count_fasta_kmers(paths, k, canonical)
     keep = counts >= args.min_count
-    uniq, counts = uniq[keep], counts[keep]
+    if isinstance(uniq, tuple):
+        uniq = (uniq[0][keep], uniq[1][keep])
+        n_distinct = uniq[0].size
+    else:
+        uniq = uniq[keep]
+        n_distinct = uniq.size
+    counts = counts[keep]
     counts = np.minimum(counts, args.max_count)
-    Logger.info(_CLASS, f"{uniq.size} distinct k-mers")
+    Logger.info(_CLASS, f"{n_distinct} distinct k-mers")
     write_kmc_db(
         args.output,
         uniq,

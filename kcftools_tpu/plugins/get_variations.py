@@ -120,6 +120,12 @@ def run(args):
     k = kmc.kmer_length
 
     use_hybrid = args.feature == "window" and args.engine in ("auto", "hybrid")
+    if k > 32 and not use_hybrid:
+        Logger.error(
+            _CLASS,
+            f"k={k} > 32 requires the hybrid engine (window feature mode); "
+            "gene/transcript and --engine device support k <= 32",
+        )
     if use_hybrid:
         scorer = None  # no device hash table needed
     else:
@@ -171,10 +177,21 @@ def run(args):
         refidx = RefKmerIndex.load_or_build(
             args.reference, index, k, canonical=kmc.both_strands
         )
-        order = np.argsort(kmc.kmers, kind="stable")
-        counts_r = merge_counts(
-            refidx.kmers, kmc.kmers[order], kmc.counts[order]
-        )
+        if k > 32:
+            from ..native import wide
+
+            dbh, dbl, dbc = wide.sort_unique(
+                kmc.kmers_hi, kmc.kmers_lo, kmc.counts
+            )
+            counts_r = wide.merge_counts(
+                refidx.kmers_hi, refidx.kmers_lo, dbh, dbl,
+                dbc.astype(np.uint32),
+            )
+        else:
+            order = np.argsort(kmc.kmers, kind="stable")
+            counts_r = merge_counts(
+                refidx.kmers, kmc.kmers[order], kmc.counts[order]
+            )
         scan_scorer = ScanScorer(k)
 
     Logger.info(_CLASS, "Generating windows...")
