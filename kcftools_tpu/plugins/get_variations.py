@@ -9,6 +9,8 @@ reference: FASTA sequence order, windows sorted by start within each
 sequence (GetVariants.java:168-179).
 """
 
+import os
+
 import numpy as np
 
 from ..engine.hashtable import build_table
@@ -49,9 +51,25 @@ def add_parser(subparsers):
         "database, and detect variation",
     )
     p.add_argument("-r", "--reference", required=True, help="Reference file name")
-    p.add_argument("-k", "--kmc", required=True, help="KMC database prefix")
-    p.add_argument("-o", "--output", required=True, help="Output file name")
-    p.add_argument("-s", "--sample", required=True, help="Sample name")
+    p.add_argument(
+        "-k",
+        "--kmc",
+        required=True,
+        help="KMC database prefix (comma-separated list for multi-sample runs)",
+    )
+    p.add_argument(
+        "-o",
+        "--output",
+        required=True,
+        help="Output file name (multi-sample: comma-separated list or a "
+        "directory)",
+    )
+    p.add_argument(
+        "-s",
+        "--sample",
+        required=True,
+        help="Sample name (comma-separated list for multi-sample runs)",
+    )
     p.add_argument(
         "-f",
         "--feature",
@@ -113,70 +131,89 @@ def _validate(args):
 
 
 def run(args):
+    """Single- or multi-sample screening. Multi-sample (-k a,b,c
+    -s sa,sb,sc) amortizes the FASTA/GTF parse and the reference k-mer
+    index across all samples - the per-sample work is one KMC ingest +
+    one merge join + window statistics."""
     _validate(args)
-    sample = clean_sample_name(args.sample, _CLASS)
-
-    kmc = KMCReader(args.kmc)
-    k = kmc.kmer_length
-
-    use_hybrid = args.feature == "window" and args.engine in ("auto", "hybrid")
-    if k > 32 and not use_hybrid:
-        Logger.error(
-            _CLASS,
-            f"k={k} > 32 requires the hybrid engine (window feature mode); "
-            "gene/transcript and --engine device support k <= 32",
-        )
-    if use_hybrid:
-        scorer = None  # no device hash table needed
-    else:
-        import jax
-
-        table = build_table(
-            kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands
-        )
-        n_dev = jax.device_count()
-        if n_dev > 1:
-            # shard window batches across all chips (the thread-pool
-            # analog); add table-axis sharding when the table outgrows a
-            # single device's memory
-            from ..parallel.mesh import make_mesh
-            from ..parallel.sharded import ShardedWindowScorer
-
-            table_axis = 1
-            if table.nbytes > 4 << 30:
-                table_axis = 2
-                while table.nbytes // table_axis > 4 << 30 and table_axis < n_dev:
-                    table_axis *= 2
-            while n_dev % table_axis:
-                table_axis //= 2
-            mesh = make_mesh(data=n_dev // table_axis, table=table_axis)
-            Logger.info(
-                _CLASS,
-                f"Using {n_dev} devices: mesh data={n_dev // table_axis} "
-                f"table={table_axis}",
-            )
-            scorer = ShardedWindowScorer(table, mesh, min_count=args.min_k_count)
+    kmc_list = args.kmc.split(",")
+    samples = [clean_sample_name(s, _CLASS) for s in args.sample.split(",")]
+    if len(samples) != len(kmc_list):
+        Logger.error(_CLASS, "Number of samples must match number of KMC DBs")
+    if len(kmc_list) > 1:
+        if "," in args.output:
+            outputs = args.output.split(",")
+            if len(outputs) != len(kmc_list):
+                Logger.error(
+                    _CLASS, "Number of outputs must match number of KMC DBs"
+                )
         else:
-            scorer = WindowScorer(table, min_count=args.min_k_count)
-
-    header = KCFHeader()
-    header.reference = args.reference
-    header.add_command_line(get_command_line())
-    header.add_sample(sample)
-    header.window_size = args.window
-    header.step_size = args.step
-    header.kmer_size = k
-    header.is_ibs = False
-    header.set_weights(args.wi, args.wt, args.wr)
-    weights = (args.wi, args.wt, args.wr)
+            os.makedirs(args.output, exist_ok=True)
+            outputs = [
+                os.path.join(args.output, f"{s}.kcf") for s in samples
+            ]
+    else:
+        outputs = [args.output]
 
     index = FastaIndex(args.reference)
     gtf = GTF(args.gtf) if args.feature in ("gene", "transcript") else None
 
-    if use_hybrid:
-        refidx = RefKmerIndex.load_or_build(
-            args.reference, index, k, canonical=kmc.both_strands
+    refidx = None
+    for db_prefix, sample, out_path in zip(kmc_list, samples, outputs):
+        kmc = KMCReader(db_prefix)
+        k = kmc.kmer_length
+        use_hybrid = args.feature == "window" and args.engine in (
+            "auto", "hybrid",
         )
+        if k > 32 and not use_hybrid:
+            Logger.error(
+                _CLASS,
+                f"k={k} > 32 requires the hybrid engine (window feature "
+                "mode); gene/transcript and --engine device support k <= 32",
+            )
+        if use_hybrid and (
+            refidx is None or refidx.k != k or refidx.canonical != kmc.both_strands
+        ):
+            refidx = RefKmerIndex.load_or_build(
+                args.reference, index, k, canonical=kmc.both_strands
+            )
+        _run_one_sample(
+            args, index, gtf, refidx, kmc, k, sample, out_path, use_hybrid
+        )
+
+
+def _make_scorer(args, kmc, k):
+    import jax
+
+    table = build_table(kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands)
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        # shard window batches across all chips (the thread-pool analog);
+        # add a table axis when the table outgrows a single chip's memory
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ShardedWindowScorer
+
+        table_axis = 1
+        if table.nbytes > 4 << 30:
+            table_axis = 2
+            while table.nbytes // table_axis > 4 << 30 and table_axis < n_dev:
+                table_axis *= 2
+        while n_dev % table_axis:
+            table_axis //= 2
+        mesh = make_mesh(data=n_dev // table_axis, table=table_axis)
+        Logger.info(
+            _CLASS,
+            f"Using {n_dev} devices: mesh data={n_dev // table_axis} "
+            f"table={table_axis}",
+        )
+        return ShardedWindowScorer(table, mesh, min_count=args.min_k_count)
+    return WindowScorer(table, min_count=args.min_k_count)
+
+
+def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
+                    use_hybrid):
+    if use_hybrid:
+        scorer = None
         if k > 32:
             from ..native import wide
 
@@ -193,6 +230,19 @@ def run(args):
                 refidx.kmers, kmc.kmers[order], kmc.counts[order]
             )
         scan_scorer = ScanScorer(k)
+    else:
+        scorer = _make_scorer(args, kmc, k)
+
+    header = KCFHeader()
+    header.reference = args.reference
+    header.add_command_line(get_command_line())
+    header.add_sample(sample)
+    header.window_size = args.window
+    header.step_size = args.step
+    header.kmer_size = k
+    header.is_ibs = False
+    header.set_weights(args.wi, args.wt, args.wr)
+    weights = (args.wi, args.wt, args.wr)
 
     Logger.info(_CLASS, "Generating windows...")
     blocks = []
@@ -217,12 +267,12 @@ def run(args):
     Logger.info(_CLASS, f"Number of windows: {total_windows}")
     header.window_count = total_windows
 
-    with KCFWriter(args.output) as writer:
+    with KCFWriter(out_path) as writer:
         writer.write_header(header)
         for block in blocks:
             block.finalize(weights)
             writer.write_block(block)
-    Logger.info(_CLASS, f"Wrote {total_windows} windows to {args.output}")
+    Logger.info(_CLASS, f"Wrote {total_windows} windows to {out_path}")
 
 
 def _make_block(sample, name, starts, ends, ids, res, k):

@@ -403,3 +403,22 @@ def test_count_cli_roundtrip(tmp_path):
     assert r.total_kmers == len(db)
     got = {kmer_to_str(int(v), 21): int(c) for v, c in zip(r.kmers, r.counts)}
     assert got == db
+
+
+def test_multi_sample_get_variations(workspace, tmp_path):
+    """-k a,b,c -s sa,sb,sc into a directory must equal three single runs."""
+    dbs = ",".join(
+        str(workspace["tmp"] / f"db_{n}") for n in ("s1", "s2", "s3")
+    )
+    outdir = str(tmp_path / "multi")
+    rc = cli_main(
+        ["getVariations", "-r", workspace["ref_path"], "-k", dbs,
+         "-o", outdir, "-s", "s1,s2,s3", "-f", "window", "-w", str(WIN)]
+    )
+    assert rc == 0
+    for name in ("s1", "s2", "s3"):
+        multi = KCFReader(os.path.join(outdir, f"{name}.kcf")).read_all()
+        single = KCFReader(workspace["samples"][name]["kcf"]).read_all()
+        assert multi.window_id == single.window_id
+        np.testing.assert_array_equal(multi.ob, single.ob)
+        np.testing.assert_array_equal(multi.score, single.score)
