@@ -14,13 +14,7 @@ import os
 import numpy as np
 
 from ..engine.hashtable import build_table
-from ..engine.pipeline import (
-    PAD_MARGIN,
-    STATE_BASE_VALID,
-    ScanScorer,
-    WindowScorer,
-    combine_u8,
-)
+from ..engine.pipeline import PAD_MARGIN, WindowScorer, combine_u8
 from ..engine.prefix_scan import chromosome_stats_indirect, window_stats
 from ..engine.refindex import RefKmerIndex
 from ..engine.windows import (
@@ -229,7 +223,6 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
             counts_r = merge_counts(
                 refidx.kmers, kmc.kmers[order], kmc.counts[order]
             )
-        scan_scorer = ScanScorer(k)
     else:
         scorer = _make_scorer(args, kmc, k)
 
@@ -252,7 +245,7 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
         if args.feature == "window":
             if use_hybrid:
                 block = _score_fixed_windows_hybrid(
-                    args, index, refidx, counts_r, name, k, scan_scorer, sample
+                    args, index, refidx, counts_r, name, k, sample
                 )
             else:
                 block = _score_fixed_windows(args, index, name, k, scorer, sample)
@@ -392,9 +385,7 @@ def _score_fixed_windows_batched(
     return _make_block(sample, name, starts, ends, ids, res, k)
 
 
-def _score_fixed_windows_hybrid(
-    args, index, refidx, counts_r, name, k, scan_scorer, sample
-):
+def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k, sample):
     """Hybrid engine: k-mer counts resolved on host (gather of the
     merge-joined per-unique-kmer counts through the cached per-position
     index), then every per-window statistic via the global prefix
