@@ -133,6 +133,11 @@ def get_lib():
         lib.kcf_wide_suffix_bytes.argtypes = [
             u64p2, u64p2, ctypes.c_int64, ctypes.c_int32, u8p,
         ]
+        lib.kcf_f32_seq_group_mean.restype = None
+        lib.kcf_f32_seq_group_mean.argtypes = [
+            ctypes.POINTER(ctypes.c_double), i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         lib.kcf_parse_rows.restype = ctypes.c_int64
         lib.kcf_parse_rows.argtypes = (
             [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
@@ -609,6 +614,31 @@ def format_kcf_rows(
     if written < 0:
         return None
     return out[:written].tobytes(), tie_rows[: int(n_tie[0])]
+
+
+def f32_seq_group_mean(scores_f64, group_off):
+    """Java-semantics per-group mean (f32 accumulator, double adds).
+    scores_f64: flat member scores; group_off: (G+1,) boundaries."""
+    lib = get_lib()
+    G = len(group_off) - 1
+    out = np.empty(G, np.float32)
+    scores_f64 = np.ascontiguousarray(scores_f64, np.float64)
+    group_off = np.ascontiguousarray(group_off, np.int64)
+    if lib is None:
+        for g in range(G):
+            acc = np.float32(0.0)
+            for i in range(group_off[g], group_off[g + 1]):
+                acc = np.float32(float(acc) + float(scores_f64[i]))
+            cnt = group_off[g + 1] - group_off[g]
+            out[g] = acc / np.float32(cnt) if cnt else 0.0
+        return out
+    lib.kcf_f32_seq_group_mean(
+        scores_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        group_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        G,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 def build_table_native(hi, lo, counts, nb):

@@ -693,6 +693,21 @@ void kcf_wide_suffix_bytes(const uint64_t* khi, const uint64_t* klo,
   }
 }
 
+// Per-group mean with Java's accumulation semantics: a float (f32)
+// accumulator += double score (adds in double, narrows to f32 every
+// step), then f32 division by the group size
+// (reference FindIBS.writeSummaryEntry :248-255).
+void kcf_f32_seq_group_mean(const double* scores, const int64_t* group_off,
+                            int64_t n_groups, float* out) {
+  for (int64_t g = 0; g < n_groups; ++g) {
+    float acc = 0.0f;
+    for (int64_t i = group_off[g]; i < group_off[g + 1]; ++i)
+      acc = (float)((double)acc + scores[i]);
+    int64_t cnt = group_off[g + 1] - group_off[g];
+    out[g] = cnt ? acc / (float)cnt : 0.0f;
+  }
+}
+
 // 2-bit pack + validity for a byte sequence (ACGT/acgt -> 0..3).
 void kcf_encode_bases(const uint8_t* seq, int64_t n, uint8_t* codes,
                       uint8_t* valid) {

@@ -130,7 +130,21 @@ def run(args):
 
 
 def _write_summary(args, out_file, block, header, chrom_order, chrom_rows):
+    """Vectorized block grouping. Key structural facts (matching the
+    reference's buffer-and-flush logic, FindIBS.java:181-203): block ids
+    are strictly increasing along the sample sweep and confined to one
+    chromosome, so in scan order each block's member set is exactly the
+    contiguous span from its first to its last non-NA window - interior
+    NA windows attach, leading/trailing ones are discarded."""
+    from ..native import f32_seq_group_mean
+
     f2 = javafmt.f2
+    order_rows = np.concatenate(
+        [chrom_rows[c] for c in chrom_order]
+    ).astype(np.int64)
+    starts_arr = block.start
+    ends_arr = block.end
+
     summary_path = out_file[: -len(".kcf")] + ".summary.tsv"
     with open(summary_path, "w") as sw:
         sw.write(
@@ -138,47 +152,50 @@ def _write_summary(args, out_file, block, header, chrom_order, chrom_rows):
             "IBSBlocks\tIBSProportion\tMeanScore\n"
         )
         for j, sample in enumerate(block.samples):
-            blocks = {}  # block id -> list of window row indices (insertion order)
-            for chrom in chrom_order:
-                na_buf = []  # reference resets the NA buffer per chromosome
-                for row in chrom_rows[chrom]:
-                    v = int(block.ibs[j, row])
-                    if v == -1:
-                        na_buf.append(row)
-                    else:
-                        if v in blocks:
-                            blocks[v].extend(na_buf)
-                            blocks[v].append(row)
-                        else:
-                            blocks[v] = [row]
-                        na_buf = []
+            v = block.ibs[j, order_rows]
+            pos = np.flatnonzero(v != -1)
+            if pos.size == 0:
+                if args.bed:
+                    open(out_file[: -len(".kcf")] + f".{sample}.bed", "w").close()
+                continue
+            ids = v[pos]
+            run_start_idx = np.flatnonzero(
+                np.concatenate(([True], ids[1:] != ids[:-1]))
+            )
+            run_starts = pos[run_start_idx]  # scan positions
+            run_ends = pos[np.append(run_start_idx[1:] - 1, pos.size - 1)]
+            block_ids = ids[run_start_idx]
+            total_blocks = run_ends - run_starts + 1
+            ibs_blocks = np.diff(np.append(run_start_idx, pos.size))
+
+            first_rows = order_rows[run_starts]
+            last_rows = order_rows[run_ends]
 
             if args.bed:
                 bed_path = out_file[: -len(".kcf")] + f".{sample}.bed"
                 with open(bed_path, "w") as bw:
-                    for rows in blocks.values():
-                        if rows:
-                            bw.write(
-                                f"{block.seq_names[rows[0]]}\t"
-                                f"{block.start[rows[0]]}\t{block.end[rows[-1]]}\n"
-                            )
+                    for g in range(len(block_ids)):
+                        bw.write(
+                            f"{block.seq_names[first_rows[g]]}\t"
+                            f"{starts_arr[first_rows[g]]}\t{ends_arr[last_rows[g]]}\n"
+                        )
 
-            for v, rows in blocks.items():
-                if not rows:
-                    continue
-                total_blocks = len(rows)
-                ibs_blocks = int((block.ibs[j, rows] != -1).sum())
-                # Java: float accumulator += double score (adds in double,
-                # narrows to float32 every step), then float32 division
-                acc = np.float32(0.0)
-                for r in rows:
-                    acc = np.float32(float(acc) + float(block.score[j, r]))
-                mean_score = acc / np.float32(total_blocks)
-                ibs_prop = np.float32(ibs_blocks) / np.float32(total_blocks)
-                start = block.start[rows[0]]
-                end = block.end[rows[-1]]
+            # member scores, flat, with group boundaries
+            member_scan = np.concatenate(
+                [np.arange(s, e + 1) for s, e in zip(run_starts, run_ends)]
+            )
+            group_off = np.zeros(len(block_ids) + 1, np.int64)
+            np.cumsum(total_blocks, out=group_off[1:])
+            scores_flat = block.score[j, order_rows[member_scan]]
+            mean_scores = f32_seq_group_mean(scores_flat, group_off)
+            props = ibs_blocks.astype(np.float32) / total_blocks.astype(np.float32)
+
+            for g in range(len(block_ids)):
+                fr, lr = first_rows[g], last_rows[g]
+                start = starts_arr[fr]
+                end = ends_arr[lr]
                 sw.write(
-                    f"{v}\t{sample}\t{block.seq_names[rows[0]]}\t{start}\t{end}\t"
-                    f"{end - start}\t{total_blocks}\t{ibs_blocks}\t"
-                    f"{f2(float(ibs_prop))}\t{f2(float(mean_score))}\n"
+                    f"{block_ids[g]}\t{sample}\t{block.seq_names[fr]}\t{start}\t"
+                    f"{end}\t{end - start}\t{total_blocks[g]}\t{ibs_blocks[g]}\t"
+                    f"{f2(float(props[g]))}\t{f2(float(mean_scores[g]))}\n"
                 )
