@@ -141,34 +141,81 @@ class KMCReader:
                 bytes(mm[4 : 4 + n_luts * lut_size * 8]), dtype="<u8"
             )
 
+    # records per ingest slab: bounds transient memory to ~slab*rec bytes
+    # on top of the decoded output arrays (wheat-scale DBs don't fit twice)
+    _SLAB_RECORDS = 1 << 26
+
     def _read_records(self):
         suf_bytes = self.suffix_length // 4
         rec = suf_bytes + self.counter_size
         n = self.total_kmers
-        with open(self.suffix_file, "rb") as fh:
-            raw = np.fromfile(fh, dtype=np.uint8, offset=4, count=n * rec)
-        if raw.shape[0] < n * rec:
-            Logger.error(_CLASS, f"Truncated suffix file: {self.suffix_file}")
 
-        from ..native import decode_kmc_records, wide
+        from ..native import decode_kmc_records, get_lib, wide
 
         lut_size = 1 << (2 * self.lut_prefix_length)
         bounds_all = np.append(self.prefix_array, np.uint64(n))
         if (np.diff(bounds_all.astype(np.int64)) < 0).any():
             Logger.error(_CLASS, f"Corrupt prefix array in {self.prefix_file}")
+
+        if get_lib() is not None:
+            # slab-streamed native decode; bin boundaries are absolute
+            # record indices, so each slab gets shifted boundary views
+            if self.wide:
+                self.kmers = None
+                self.kmers_hi = np.empty(n, np.uint64)
+                self.kmers_lo = np.empty(n, np.uint64)
+            else:
+                self.kmers = np.empty(n, np.uint64)
+            self.counts = np.empty(n, np.uint32)
+            bounds_i = bounds_all.astype(np.int64)
+            with open(self.suffix_file, "rb") as fh:
+                fh.seek(4)
+                done = 0
+                while done < n:
+                    m = min(self._SLAB_RECORDS, n - done)
+                    raw = np.fromfile(fh, dtype=np.uint8, count=m * rec)
+                    if raw.shape[0] < m * rec:
+                        Logger.error(
+                            _CLASS, f"Truncated suffix file: {self.suffix_file}"
+                        )
+                    # bins overlapping [done, done+m): shift to slab-local
+                    lo_bin = int(np.searchsorted(bounds_i, done, "right")) - 1
+                    hi_bin = int(np.searchsorted(bounds_i, done + m, "left"))
+                    local = np.clip(
+                        bounds_i[lo_bin : hi_bin + 1] - done, 0, m
+                    ).astype(np.uint64)
+                    # prefix = (local_bin + bin_offset) % lut_size restores
+                    # absolute bin identity inside the decoder
+                    if self.wide:
+                        sh, sl, sc = wide.decode_kmc_records(
+                            raw, m, suf_bytes, self.counter_size, local,
+                            lut_size, self.suffix_length,
+                            bin_offset=lo_bin,
+                        )
+                        self.kmers_hi[done : done + m] = sh
+                        self.kmers_lo[done : done + m] = sl
+                        self.counts[done : done + m] = sc
+                    else:
+                        part = decode_kmc_records(
+                            raw, m, suf_bytes, self.counter_size, local,
+                            lut_size, self.suffix_length,
+                            bin_offset=lo_bin,
+                        )
+                        self.kmers[done : done + m] = part[0]
+                        self.counts[done : done + m] = part[1]
+                    done += m
+            return
+
+        with open(self.suffix_file, "rb") as fh:
+            raw = np.fromfile(fh, dtype=np.uint8, offset=4, count=n * rec)
+        if raw.shape[0] < n * rec:
+            Logger.error(_CLASS, f"Truncated suffix file: {self.suffix_file}")
         if self.wide:
             self.kmers_hi, self.kmers_lo, self.counts = wide.decode_kmc_records(
                 raw, n, suf_bytes, self.counter_size, bounds_all, lut_size,
                 self.suffix_length,
             )
             self.kmers = None
-            return
-        fused = decode_kmc_records(
-            raw, n, suf_bytes, self.counter_size, bounds_all, lut_size,
-            self.suffix_length,
-        )
-        if fused is not None:
-            self.kmers, self.counts = fused
             return
         # numpy fallback
         raw = raw.reshape(n, rec)

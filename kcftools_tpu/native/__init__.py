@@ -104,11 +104,13 @@ def get_lib():
         lib.kcf_decode_kmc_records.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u64p2,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p2, u32p,
+            ctypes.c_int64,
         ]
         lib.kcf_decode_kmc_records_wide.restype = None
         lib.kcf_decode_kmc_records_wide.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u64p2,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p2, u64p2, u32p,
+            ctypes.c_int64,
         ]
         lib.kcf_sort_unique_pairs.restype = ctypes.c_int64
         lib.kcf_sort_unique_pairs.argtypes = [
@@ -312,7 +314,7 @@ def decode_suffix_records(raw: np.ndarray, n: int, suf_bytes: int,
 
 
 def decode_kmc_records(raw, n, suf_bytes, counter_size, bounds, lut_size,
-                       suffix_len):
+                       suffix_len, bin_offset=0):
     """Full (kmer uint64, count uint32) decode in one native pass, or
     None when unavailable."""
     lib = get_lib()
@@ -330,6 +332,7 @@ def decode_kmc_records(raw, n, suf_bytes, counter_size, bounds, lut_size,
         bounds.shape[0] - 1, lut_size, suffix_len,
         kmers.ctypes.data_as(u64p),
         _u32p(counts),
+        bin_offset,
     )
     return kmers, counts
 
@@ -348,7 +351,7 @@ class _Wide:
 
     @staticmethod
     def decode_kmc_records(raw, n, suf_bytes, counter_size, bounds, lut_size,
-                           suffix_len):
+                           suffix_len, bin_offset=0):
         lib = get_lib()
         raw = np.ascontiguousarray(raw, np.uint8)
         bounds = np.ascontiguousarray(bounds, np.uint64)
@@ -367,7 +370,8 @@ class _Wide:
                 c = 0
                 for j in range(counter_size):
                     c |= int(p[suf_bytes + j]) << (8 * j)
-                v = ((int(bin_of[i]) % lut_size) << (2 * suffix_len)) | s
+                v = (((int(bin_of[i]) + bin_offset) % lut_size)
+                     << (2 * suffix_len)) | s
                 khi[i] = v >> 64
                 klo[i] = v & 0xFFFFFFFFFFFFFFFF
                 counts[i] = c
@@ -376,7 +380,7 @@ class _Wide:
             raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             n, suf_bytes, counter_size,
             _u64p_of(bounds), bounds.shape[0] - 1, lut_size, suffix_len,
-            _u64p_of(khi), _u64p_of(klo), _u32p(counts),
+            _u64p_of(khi), _u64p_of(klo), _u32p(counts), bin_offset,
         )
         return khi, klo, counts
 

@@ -303,12 +303,12 @@ void kcf_decode_kmc_records(const uint8_t* raw, int64_t n, int32_t suf_bytes,
                             int32_t counter_size, const uint64_t* bounds,
                             int64_t n_bins, int64_t lut_size,
                             int32_t suffix_len, uint64_t* kmers,
-                            uint32_t* counts) {
+                            uint32_t* counts, int64_t bin_offset) {
   int64_t rec = suf_bytes + counter_size;
   int64_t bin = 0;
   for (int64_t i = 0; i < n; ++i) {
     while (bin < n_bins && (uint64_t)i >= bounds[bin + 1]) ++bin;
-    uint64_t prefix = (uint64_t)(bin % lut_size);
+    uint64_t prefix = (uint64_t)((bin + bin_offset) % lut_size);
     const uint8_t* p = raw + i * rec;
     uint64_t s = 0;
     for (int32_t j = 0; j < suf_bytes; ++j) s = (s << 8) | p[j];
@@ -576,12 +576,12 @@ void kcf_decode_kmc_records_wide(const uint8_t* raw, int64_t n,
                                  const uint64_t* bounds, int64_t n_bins,
                                  int64_t lut_size, int32_t suffix_len,
                                  uint64_t* khi, uint64_t* klo,
-                                 uint32_t* counts) {
+                                 uint32_t* counts, int64_t bin_offset) {
   int64_t rec = suf_bytes + counter_size;
   int64_t bin = 0;
   for (int64_t i = 0; i < n; ++i) {
     while (bin < n_bins && (uint64_t)i >= bounds[bin + 1]) ++bin;
-    u128 prefix = (u128)(bin % lut_size);
+    u128 prefix = (u128)((bin + bin_offset) % lut_size);
     const uint8_t* p = raw + i * rec;
     u128 s = 0;
     for (int32_t j = 0; j < suf_bytes; ++j) s = (s << 8) | p[j];

@@ -57,3 +57,20 @@ def test_signatures_monotone_properties():
     # poly-A has only disallowed m-mers -> sentinel
     assert sigs[0] == (1 << (2 * m))
     assert sigs[1] < (1 << (2 * m))
+
+
+def test_slab_streamed_decode(tmp_path, rng, monkeypatch):
+    """Multi-slab ingest must equal whole-file decode, including slabs
+    that split bins at arbitrary offsets."""
+    from kcftools_tpu.io import kmc as kmc_mod
+
+    k = 31
+    kmers = np.unique(rng.integers(0, 1 << 62, size=15000, dtype=np.uint64))
+    counts = rng.integers(1, 500, size=kmers.size, dtype=np.uint64)
+    prefix = str(tmp_path / "slab")
+    write_kmc_db(prefix, kmers, counts, k, sig_len=9)
+    whole = KMCReader(prefix)
+    monkeypatch.setattr(kmc_mod.KMCReader, "_SLAB_RECORDS", 611)
+    slabbed = KMCReader(prefix)
+    np.testing.assert_array_equal(slabbed.kmers, whole.kmers)
+    np.testing.assert_array_equal(slabbed.counts, whole.counts)
