@@ -7,20 +7,23 @@ windows (the driver's first ladder config), query DB = a mutated
 sample's canonical k-mer counts. Measures the per-sample work of the
 default engine exactly as the plugin runs it:
 
-  - sorted-merge join of the reference k-mer index against the sample
-    table + per-position count gather (native C++ tier)
-  - global prefix decomposition + O(1)-per-window statistics
-    (engine/prefix_scan.py)
+  - branchless sorted-merge join of the reference k-mer index against
+    the sample table, emitting u8-compressed counts + an exception list
+    (native C++ tier, threaded)
+  - fused per-window gap-run scan over the cached per-position index
+    (native; replay of GetVariants.java:219-251 semantics, no
+    intermediate arrays materialized)
 
-One-time per-reference work (k-mer index construction, file ingest) is
-excluded - it amortizes across samples; everything per-sample is
-included. Result is the best of several full sweeps.
+One-time per-reference work (k-mer index construction, window plan,
+file ingest) is excluded - it amortizes across samples; everything
+per-sample is included. Result is the best of several full sweeps.
 
-The device (TPU) engines - hash-table lookup pipeline and gap-scan
-kernels, used for spliced gene/transcript windows and chip-sharded
-tables - are exercised by the test suite and __graft_entry__; a
-secondary metric for the device hash pipeline is included when
-BENCH_DEVICE=1.
+Set BENCH_ENGINE=dprefix to instead measure the device-resident engine
+(reference index on the TPU, per-sample compressed-count upload +
+on-chip positional pipeline) - the deployment shape for TPU pods; its
+number is dominated by host<->device tunnel latency in this
+environment. The device hash-lookup pipeline is exercised by the test
+suite and __graft_entry__.
 
 Baseline: the reference (pure Java, per-k-mer signature scan + binary
 search, thread pool over windows; Plugins/GetVariants.java:202-261)
@@ -32,6 +35,7 @@ this estimate.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -41,9 +45,9 @@ import kcftools_tpu  # noqa: F401  (enables x64 + compile cache)
 import jax
 
 from kcftools_tpu.engine.encode import canonicalize, pack_kmers
-from kcftools_tpu.engine.prefix_scan import chromosome_stats_indirect, window_stats
+from kcftools_tpu.engine.prefix_scan import static_window_stats
 from kcftools_tpu.engine.windows import tiling_windows
-from kcftools_tpu.native import merge_counts
+from kcftools_tpu.native import merge_counts_u8, window_scan_u8
 
 GENOME_MBP = 5
 K = 31
@@ -52,25 +56,22 @@ SNP_RATE = 0.01
 BASELINE_WINDOWS_PER_SEC = 3200.0
 
 
-def sweep(refk, r_idx, base_valid, db_sorted, db_counts, starts, ends):
-    counts_r = merge_counts(refk, db_sorted, db_counts)
-    st = chromosome_stats_indirect(counts_r, r_idx, base_valid, 1, K)
-    res = window_stats(st, starts, ends)
-    return int(res["observed"].sum()), int(res["variations"].sum())
-
-
 def main():
     rng = np.random.default_rng(0)
     n = GENOME_MBP * 1_000_000
     genome = rng.integers(0, 4, size=n).astype(np.uint8)
     base_valid = np.ones(n, bool)
 
-    # reference k-mer index (one-time, excluded from timing)
+    # reference k-mer index + window plan (one-time, excluded from timing)
     kmers, kv = pack_kmers(genome, base_valid, K)
     canon = canonicalize(kmers, K)
     refk = np.unique(canon[kv])
     r_idx = np.searchsorted(refk, canon).astype(np.int32)
     r_idx[~kv] = -1
+    starts, ends = tiling_windows(n, WINDOW, K)
+    w_hi = (ends - K).astype(np.int32)
+    static_window_stats(r_idx, base_valid, K, starts, ends)
+    n_windows = len(starts)
 
     # per-sample table, sorted as the KMC reader provides
     sample = genome.copy()
@@ -82,14 +83,33 @@ def main():
     )
     db_counts = db_counts.astype(np.uint32)
 
-    starts, ends = tiling_windows(n, WINDOW, K)
-    n_windows = len(starts)
+    engine = os.environ.get("BENCH_ENGINE", "hybrid")
+    if engine == "dprefix":
+        from kcftools_tpu.engine.device_prefix import DevicePrefixScorer
 
-    sweep(refk, r_idx, base_valid, db_sorted, db_counts, starts, ends)  # warm
+        class _Ref:
+            n_kmers = refk.size
+
+        scorer = DevicePrefixScorer(_Ref(), K, min_count=1)
+        scorer.add_chrom("c", r_idx, starts, ends)
+
+        def sweep():
+            scorer.merge_and_upload(refk, db_sorted, db_counts)
+            res = scorer.score_chrom("c")
+            return int(res["observed"].sum())
+
+    else:
+
+        def sweep():
+            u8, ei, ev = merge_counts_u8(refk, db_sorted, db_counts)
+            res = window_scan_u8(u8, ei, ev, r_idx, 1, K, starts, w_hi)
+            return int(res["observed"].sum())
+
+    sweep()  # warm (compiles on the device path; page faults on host)
     best = 0.0
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.time()
-        sweep(refk, r_idx, base_valid, db_sorted, db_counts, starts, ends)
+        sweep()
         best = max(best, n_windows / (time.time() - t0))
 
     kmers_per_window = WINDOW - K + 1
@@ -100,6 +120,7 @@ def main():
         "vs_baseline": round(best / BASELINE_WINDOWS_PER_SEC, 2),
         "kmer_lookups_per_sec": round(best * kmers_per_window),
         "n_windows": n_windows,
+        "engine": engine,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

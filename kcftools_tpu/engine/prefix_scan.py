@@ -111,6 +111,16 @@ def chromosome_stats_numpy(counts_pos, kmer_valid_pos, base_valid, min_count, k)
     }
 
 
+def static_window_stats(r_idx, base_valid, k, starts, ends):
+    """Sample-independent per-window fields (total k-mers, effective
+    length), computed once per (reference, window geometry) and reused
+    across samples by the fused-scan and device engines."""
+    zeros = np.zeros(r_idx.shape[0], np.uint32)
+    st = chromosome_stats_numpy(zeros, r_idx >= 0, base_valid, 1, k)
+    res = window_stats(st, starts, ends)
+    return res["total"], res["eff_length"]
+
+
 def window_stats(st, starts, ends):
     """Vectorized per-window statistics from chromosome_stats arrays.
 

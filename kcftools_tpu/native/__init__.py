@@ -71,6 +71,23 @@ def get_lib():
         ]
         lib.kcf_gather_counts.restype = None
         lib.kcf_gather_counts.argtypes = [u32p, i32p, ctypes.c_int64, u32p]
+        lib.kcf_merge_counts_u8.restype = ctypes.c_int64
+        lib.kcf_merge_counts_u8.argtypes = [
+            u64p, ctypes.c_int64, ctypes.c_int64, u64p, u32p,
+            ctypes.c_int64, u8p, i32p, u32p, ctypes.c_int64,
+        ]
+        lib.kcf_merge_counts_u8_wide.restype = ctypes.c_int64
+        lib.kcf_merge_counts_u8_wide.argtypes = [
+            u64p, u64p, ctypes.c_int64, ctypes.c_int64, u64p, u64p, u32p,
+            ctypes.c_int64, u8p, i32p, u32p, ctypes.c_int64,
+        ]
+        _i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kcf_window_scan_u8.restype = None
+        lib.kcf_window_scan_u8.argtypes = [
+            u8p, i32p, u32p, ctypes.c_int64, i32p, ctypes.c_int64,
+            ctypes.c_uint32, ctypes.c_int32, i32p, i32p, ctypes.c_int64,
+            _i64p,
+        ]
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.kcf_chrom_stats2.restype = None
         lib.kcf_chrom_stats2.argtypes = [
@@ -183,6 +200,113 @@ def merge_counts(ref_sorted, db_sorted, db_counts):
         _u32p(out),
     )
     return out
+
+
+def merge_counts_u8(ref_sorted, db_sorted, db_counts, lo=0, hi=None,
+                    out=None, exc_cap=None):
+    """Merge join over ref_sorted[lo:hi) emitting uint8-saturated counts
+    plus an exception list of (index, exact uint32) pairs for counts
+    >= 255. Returns (u8_counts, exc_idx, exc_val); falls back to the
+    uint32 merge + numpy compression when the native library is missing
+    or the exception capacity is exceeded.
+
+    ref/db may be plain uint64 arrays (k <= 32) or (hi, lo) uint64 pairs
+    for wide k-mers."""
+    wide_keys = isinstance(ref_sorted, tuple)
+    n_ref = ref_sorted[0].shape[0] if wide_keys else ref_sorted.shape[0]
+    if hi is None:
+        hi = n_ref
+    n = hi - lo
+    lib = get_lib()
+    if out is None:
+        out = np.empty(n, np.uint8)
+    if exc_cap is None:
+        exc_cap = max(1024, n // 64)
+    if lib is not None:
+        exc_idx = np.empty(exc_cap, np.int32)
+        exc_val = np.empty(exc_cap, np.uint32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        db_counts_c = np.ascontiguousarray(db_counts, np.uint32)
+        if wide_keys:
+            rhi = np.ascontiguousarray(ref_sorted[0], np.uint64)
+            rlo = np.ascontiguousarray(ref_sorted[1], np.uint64)
+            dhi = np.ascontiguousarray(db_sorted[0], np.uint64)
+            dlo = np.ascontiguousarray(db_sorted[1], np.uint64)
+            n_db = dhi.shape[0]
+            n_exc = lib.kcf_merge_counts_u8_wide(
+                rhi.ctypes.data_as(u64p), rlo.ctypes.data_as(u64p),
+                lo, hi,
+                dhi.ctypes.data_as(u64p), dlo.ctypes.data_as(u64p),
+                _u32p(db_counts_c), n_db,
+                out.ctypes.data_as(u8p),
+                exc_idx.ctypes.data_as(i32p), _u32p(exc_val), exc_cap,
+            )
+        else:
+            ref_c = np.ascontiguousarray(ref_sorted, np.uint64)
+            db_c = np.ascontiguousarray(db_sorted, np.uint64)
+            n_exc = lib.kcf_merge_counts_u8(
+                ref_c.ctypes.data_as(u64p), lo, hi,
+                db_c.ctypes.data_as(u64p), _u32p(db_counts_c),
+                db_c.shape[0],
+                out.ctypes.data_as(u8p),
+                exc_idx.ctypes.data_as(i32p), _u32p(exc_val), exc_cap,
+            )
+        if n_exc >= 0:
+            return out, exc_idx[:n_exc].copy(), exc_val[:n_exc].copy()
+    # fallback: exact uint32 merge, compressed in numpy
+    if wide_keys:
+        c32 = wide.merge_counts(
+            ref_sorted[0][lo:hi], ref_sorted[1][lo:hi],
+            db_sorted[0], db_sorted[1], db_counts,
+        )
+    else:
+        c32 = merge_counts(ref_sorted[lo:hi], db_sorted, db_counts)
+    big = np.flatnonzero(c32 >= 255)
+    out[:] = np.minimum(c32, 255).astype(np.uint8)
+    return out, (big + lo).astype(np.int32), c32[big].astype(np.uint32)
+
+
+def window_scan_u8(counts_u8, exc_idx, exc_val, r_idx, min_count, k,
+                   w_start, w_hi):
+    """Fused per-sample window scan (see kcf_window_scan_u8). Returns the
+    engine's sample-dependent fields as a dict of (n_win,) int64 arrays,
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts_u8 = np.ascontiguousarray(counts_u8, np.uint8)
+    exc_idx = np.ascontiguousarray(exc_idx, np.int32)
+    exc_val = np.ascontiguousarray(exc_val, np.uint32)
+    r_idx = np.ascontiguousarray(r_idx, np.int32)
+    w_start = np.ascontiguousarray(w_start, np.int32)
+    w_hi = np.ascontiguousarray(w_hi, np.int32)
+    n_win = w_start.shape[0]
+    out = np.empty((6, n_win), np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.kcf_window_scan_u8(
+        counts_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        exc_idx.ctypes.data_as(i32p),
+        _u32p(exc_val),
+        exc_idx.shape[0],
+        r_idx.ctypes.data_as(i32p),
+        r_idx.shape[0],
+        ctypes.c_uint32(min_count),
+        ctypes.c_int32(k),
+        w_start.ctypes.data_as(i32p),
+        w_hi.ctypes.data_as(i32p),
+        n_win,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return {
+        "observed": out[0],
+        "variations": out[1],
+        "inner": out[2],
+        "left": out[3],
+        "right": out[4],
+        "count_sum": out[5],
+    }
 
 
 def gather_counts(table_u32, idx_i32):

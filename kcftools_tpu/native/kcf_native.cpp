@@ -171,6 +171,199 @@ void kcf_merge_counts(const uint64_t* ref, int64_t n_ref, const uint64_t* db,
   for (auto& w : workers) w.join();
 }
 
+// Branchless merge join emitting uint8-saturated counts plus an
+// exception list for counts >= 255 (the device prefix engine uploads
+// the u8 array - 4x less tunnel traffic than uint32 - and scatters the
+// exact exception values back on device). Covers ref[lo:hi); exception
+// indices are absolute. Returns the exception count, or -1 when the
+// caller-provided exception capacity is exceeded (caller retries with
+// the uint32 path).
+static int64_t merge_range_u8(const uint64_t* ref, int64_t lo, int64_t hi,
+                              const uint64_t* db, const uint32_t* db_counts,
+                              int64_t n_db, uint8_t* out_u8,
+                              int32_t* exc_idx, uint32_t* exc_val,
+                              int64_t cap_exc) {
+  if (lo >= hi) return 0;
+  int64_t j = std::lower_bound(db, db + n_db, ref[lo]) - db;
+  int64_t i = lo;
+  int64_t n_exc = 0;
+  // zipper: each iteration advances i and/or j; out_u8[i] is finalized
+  // by the iteration where d >= r (a nonzero count implies d == r, so
+  // exceptions only fire on finalizing iterations)
+  while (i < hi && j < n_db) {
+    uint64_t r = ref[i], d = db[j];
+    uint32_t c = (d == r) ? db_counts[j] : 0;
+    out_u8[i - lo] = (uint8_t)(c < 255u ? c : 255u);
+    if (__builtin_expect(c >= 255u, 0)) {
+      if (n_exc >= cap_exc) return -1;
+      exc_idx[n_exc] = (int32_t)i;
+      exc_val[n_exc] = c;
+      ++n_exc;
+    }
+    i += (d >= r);
+    j += (d <= r);
+  }
+  for (; i < hi; ++i) out_u8[i - lo] = 0;
+  return n_exc;
+}
+
+int64_t kcf_merge_counts_u8(const uint64_t* ref, int64_t lo, int64_t hi,
+                            const uint64_t* db, const uint32_t* db_counts,
+                            int64_t n_db, uint8_t* out_u8, int32_t* exc_idx,
+                            uint32_t* exc_val, int64_t cap_exc) {
+  int64_t n = hi - lo;
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw <= 1 || n < (1 << 19))
+    return merge_range_u8(ref, lo, hi, db, db_counts, n_db, out_u8, exc_idx,
+                          exc_val, cap_exc);
+  int n_threads = (int)std::min<unsigned>(hw, 8);
+  int64_t step = (n + n_threads - 1) / n_threads;
+  std::vector<int64_t> rc(n_threads, 0);
+  std::vector<std::vector<int32_t>> t_idx(n_threads);
+  std::vector<std::vector<uint32_t>> t_val(n_threads);
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t a = lo + t * step;
+    int64_t b = std::min(hi, a + step);
+    workers.emplace_back([&, t, a, b]() {
+      if (a >= b) return;
+      t_idx[t].resize((size_t)cap_exc);
+      t_val[t].resize((size_t)cap_exc);
+      rc[t] = merge_range_u8(ref, a, b, db, db_counts, n_db, out_u8 + (a - lo),
+                             t_idx[t].data(), t_val[t].data(), cap_exc);
+    });
+  }
+  for (auto& w : workers) w.join();
+  int64_t n_exc = 0;
+  for (int t = 0; t < n_threads; ++t) {
+    if (rc[t] < 0 || n_exc + rc[t] > cap_exc) return -1;
+    std::memcpy(exc_idx + n_exc, t_idx[t].data(), sizeof(int32_t) * rc[t]);
+    std::memcpy(exc_val + n_exc, t_val[t].data(), sizeof(uint32_t) * rc[t]);
+    n_exc += rc[t];
+  }
+  return n_exc;
+}
+
+// Fully fused per-sample window scan: replay the reference's per-window
+// gap-run state machine (Plugins/GetVariants.java:219-251, distance
+// correction :267-273) directly over the per-position unique-k-mer
+// index, gathering counts from the u8 merge output (exception list
+// carries exact values >= 255). Unlike the prefix-decomposition path,
+// nothing per-position is materialized: per-sample memory traffic is
+// one sequential read of r_idx plus one random u8 read per k-mer, so a
+// sweep runs at memory speed even on small hosts. Windows' k-mer-start
+// ranges [w_start, w_hi] may overlap (sliding mode); each window is
+// scanned independently, split across threads.
+//
+// Output is field-major int64 (6, n_win): observed, variations, inner,
+// left, right, count_sum. total/eff_length are sample-independent and
+// owned by the caller.
+namespace {
+
+inline uint32_t exc_value(const int32_t* exc_idx, const uint32_t* exc_val,
+                          int64_t n_exc, int32_t ri) {
+  int64_t lo = 0, hi = n_exc;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (exc_idx[mid] < ri)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  return (lo < n_exc && exc_idx[lo] == ri) ? exc_val[lo] : 255u;
+}
+
+void window_scan_range(const uint8_t* counts, const int32_t* exc_idx,
+                       const uint32_t* exc_val, int64_t n_exc,
+                       const int32_t* r_idx, int64_t n_pos,
+                       uint32_t min_count, int32_t k, const int32_t* w_start,
+                       const int32_t* w_hi, int64_t w_lo, int64_t w_end,
+                       int64_t n_win, int64_t* out) {
+  int64_t* o_obs = out;
+  int64_t* o_var = out + n_win;
+  int64_t* o_inn = out + 2 * n_win;
+  int64_t* o_lft = out + 3 * n_win;
+  int64_t* o_rgt = out + 4 * n_win;
+  int64_t* o_cnt = out + 5 * n_win;
+  constexpr int64_t PF = 24;  // count-gather prefetch distance
+  for (int64_t w = w_lo; w < w_end; ++w) {
+    int64_t s = w_start[w];
+    int64_t hi = w_hi[w];
+    if (hi >= n_pos) hi = n_pos - 1;
+    int64_t obs = 0, var_ = 0, inner = 0, left = 0, right = 0;
+    int64_t cnt_sum = 0;
+    int64_t gap = 0;
+    bool seen = false;
+    bool any = false;
+    for (int64_t p = s; p <= hi; ++p) {
+      int32_t ri = r_idx[p];
+      if (p + PF <= hi) {
+        int32_t rpf = r_idx[p + PF];
+        if (rpf >= 0) __builtin_prefetch(counts + rpf, 0, 1);
+      }
+      if (ri < 0) continue;  // k-mer spans non-ACGT: not counted at all
+      any = true;
+      uint32_t c = counts[ri];
+      if (__builtin_expect(c == 255u, 0)) c = exc_value(exc_idx, exc_val, n_exc, ri);
+      if (c >= min_count) {
+        cnt_sum += c;
+        ++obs;
+        if (gap > 0) {
+          ++var_;
+          if (!seen) {
+            left = gap;
+          } else {
+            int64_t d = gap - (k - 1);
+            inner += (d > 0) ? d : std::llabs(d + 1);
+          }
+        }
+        seen = true;
+        gap = 0;
+      } else {
+        ++gap;
+      }
+    }
+    if (any && gap > 0) {
+      ++var_;
+      right = gap;
+    }
+    o_obs[w] = obs;
+    o_var[w] = var_;
+    o_inn[w] = inner;
+    o_lft[w] = left;
+    o_rgt[w] = right;
+    o_cnt[w] = cnt_sum;
+  }
+}
+
+}  // namespace
+
+void kcf_window_scan_u8(const uint8_t* counts, const int32_t* exc_idx,
+                        const uint32_t* exc_val, int64_t n_exc,
+                        const int32_t* r_idx, int64_t n_pos,
+                        uint32_t min_count, int32_t k,
+                        const int32_t* w_start, const int32_t* w_hi,
+                        int64_t n_win, int64_t* out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = hw > 1 ? (int)std::min<unsigned>(hw, 8) : 1;
+  if (n_threads <= 1 || n_win < 8) {
+    window_scan_range(counts, exc_idx, exc_val, n_exc, r_idx, n_pos,
+                      min_count, k, w_start, w_hi, 0, n_win, n_win, out);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t step = (n_win + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * step;
+    int64_t hi = std::min(n_win, lo + step);
+    if (lo >= hi) break;
+    workers.emplace_back(window_scan_range, counts, exc_idx, exc_val, n_exc,
+                         r_idx, n_pos, min_count, k, w_start, w_hi, lo, hi,
+                         n_win, out);
+  }
+  for (auto& w : workers) w.join();
+}
+
 // out[i] = table[idx[i]] for idx >= 0 else 0 (per-position count gather).
 void kcf_gather_counts(const uint32_t* table, const int32_t* idx, int64_t n,
                        uint32_t* out) {
@@ -635,6 +828,47 @@ void kcf_merge_counts_wide(const uint64_t* rhi, const uint64_t* rlo,
     out_counts[i] =
         (j < n_db && mk128(dhi[j], dlo[j]) == key) ? db_counts[j] : 0;
   }
+}
+
+// Wide-key variant of kcf_merge_counts_u8 (covers ref[lo:hi)).
+int64_t kcf_merge_counts_u8_wide(const uint64_t* rhi, const uint64_t* rlo,
+                                 int64_t lo, int64_t hi, const uint64_t* dhi,
+                                 const uint64_t* dlo,
+                                 const uint32_t* db_counts, int64_t n_db,
+                                 uint8_t* out_u8, int32_t* exc_idx,
+                                 uint32_t* exc_val, int64_t cap_exc) {
+  if (lo >= hi) return 0;
+  int64_t j = 0;
+  {
+    u128 key = mk128(rhi[lo], rlo[lo]);
+    int64_t a = 0, b = n_db;
+    while (a < b) {
+      int64_t mid = (a + b) >> 1;
+      if (mk128(dhi[mid], dlo[mid]) < key)
+        a = mid + 1;
+      else
+        b = mid;
+    }
+    j = a;
+  }
+  int64_t n_exc = 0;
+  int64_t i = lo;
+  while (i < hi && j < n_db) {
+    u128 r = mk128(rhi[i], rlo[i]);
+    u128 d = mk128(dhi[j], dlo[j]);
+    uint32_t c = (d == r) ? db_counts[j] : 0;
+    out_u8[i - lo] = (uint8_t)(c < 255u ? c : 255u);
+    if (__builtin_expect(c >= 255u, 0)) {
+      if (n_exc >= cap_exc) return -1;
+      exc_idx[n_exc] = (int32_t)i;
+      exc_val[n_exc] = c;
+      ++n_exc;
+    }
+    i += (d >= r);
+    j += (d <= r);
+  }
+  for (; i < hi; ++i) out_u8[i - lo] = 0;
+  return n_exc;
 }
 
 // Exact-match binary search of queries in a sorted pair array; -1 when

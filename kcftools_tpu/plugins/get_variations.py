@@ -15,7 +15,11 @@ import numpy as np
 
 from ..engine.hashtable import build_table
 from ..engine.pipeline import PAD_MARGIN, WindowScorer, combine_u8
-from ..engine.prefix_scan import chromosome_stats_indirect, window_stats
+from ..engine.prefix_scan import (
+    chromosome_stats_indirect,
+    static_window_stats,
+    window_stats,
+)
 from ..engine.refindex import RefKmerIndex
 from ..engine.windows import (
     batch_subsequences,
@@ -28,7 +32,7 @@ from ..io.fasta import FastaIndex
 from ..io.gtf import GTF
 from ..io.kcf import KCFHeader, KCFWriter, WindowBlock
 from ..io.kmc import KMCReader
-from ..native import gather_counts, merge_counts
+from ..native import get_lib, merge_counts, merge_counts_u8, window_scan_u8
 from ..utils.logger import Logger
 from ._common import clean_sample_name, get_command_line
 
@@ -90,12 +94,15 @@ def add_parser(subparsers):
     )
     p.add_argument(
         "--engine",
-        choices=["auto", "hybrid", "device"],
+        choices=["auto", "hybrid", "device", "dprefix"],
         default="auto",
         help="Lookup engine: 'hybrid' resolves k-mer counts on host via a "
-        "sorted-merge join against a cached reference k-mer index (fast "
-        "path for window mode); 'device' runs hash-table lookups on the "
-        "accelerator (used for gene/transcript and sharded tables)",
+        "sorted-merge join against a cached reference k-mer index plus a "
+        "fused per-window scan (fast path for window mode); 'dprefix' "
+        "keeps the reference index resident on the accelerator and runs "
+        "the whole positional pipeline there (per-sample upload is one "
+        "compressed count array); 'device' runs hash-table lookups on "
+        "the accelerator (used for gene/transcript and sharded tables)",
     )
     p.set_defaults(func=run)
     return p
@@ -153,11 +160,13 @@ def run(args):
     gtf = GTF(args.gtf) if args.feature in ("gene", "transcript") else None
 
     refidx = None
+    plan = None
+    dscorer = None
     for db_prefix, sample, out_path in zip(kmc_list, samples, outputs):
         kmc = KMCReader(db_prefix)
         k = kmc.kmer_length
         use_hybrid = args.feature == "window" and args.engine in (
-            "auto", "hybrid",
+            "auto", "hybrid", "dprefix",
         )
         if k > 32 and not use_hybrid:
             Logger.error(
@@ -171,9 +180,50 @@ def run(args):
             refidx = RefKmerIndex.load_or_build(
                 args.reference, index, k, canonical=kmc.both_strands
             )
+            plan = _build_window_plan(args, index, refidx, k)
+            dscorer = None
+        if use_hybrid and args.engine == "dprefix" and dscorer is None:
+            from ..engine.device_prefix import DevicePrefixScorer
+
+            dscorer = DevicePrefixScorer(refidx, k, min_count=args.min_k_count)
+            for name, pl in plan.items():
+                if pl is not None:
+                    dscorer.add_chrom(
+                        name, refidx.chrom_r_idx[name], pl["starts"], pl["ends"]
+                    )
         _run_one_sample(
-            args, index, gtf, refidx, kmc, k, sample, out_path, use_hybrid
+            args, index, gtf, refidx, kmc, k, sample, out_path, use_hybrid,
+            plan, dscorer,
         )
+    if dscorer is not None:
+        dscorer.close()
+
+
+def _build_window_plan(args, index, refidx, k):
+    """Per-chromosome window geometry + sample-independent stats (total
+    k-mers, effective length), computed once per reference and reused by
+    every sample's fused scan."""
+    plan = {}
+    for name in index.get_sequence_names():
+        seq_len = index.get_sequence_length(name)
+        if args.step > 0:
+            starts, ends = sliding_windows(seq_len, args.window, args.step, k)
+        else:
+            starts, ends = tiling_windows(seq_len, args.window, k)
+        if len(starts) == 0:
+            plan[name] = None
+            continue
+        r_idx = refidx.chrom_r_idx[name]
+        _codes, valid = index.sequence_codes(name)
+        total, eff = static_window_stats(r_idx, valid, k, starts, ends)
+        plan[name] = {
+            "starts": starts,
+            "ends": ends,
+            "total": total,
+            "eff": eff,
+            "valid": valid,
+        }
+    return plan
 
 
 def _make_scorer(args, kmc, k):
@@ -205,7 +255,9 @@ def _make_scorer(args, kmc, k):
 
 
 def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
-                    use_hybrid):
+                    use_hybrid, plan=None, dscorer=None):
+    counts_r = None
+    u8_pack = None
     if use_hybrid:
         scorer = None
         if k > 32:
@@ -214,15 +266,26 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
             dbh, dbl, dbc = wide.sort_unique(
                 kmc.kmers_hi, kmc.kmers_lo, kmc.counts
             )
-            counts_r = wide.merge_counts(
-                refidx.kmers_hi, refidx.kmers_lo, dbh, dbl,
-                dbc.astype(np.uint32),
-            )
+            ref_keys = (refidx.kmers_hi, refidx.kmers_lo)
+            db_keys = (dbh, dbl)
+            dbc = dbc.astype(np.uint32)
         else:
             order = np.argsort(kmc.kmers, kind="stable")
-            counts_r = merge_counts(
-                refidx.kmers, kmc.kmers[order], kmc.counts[order]
+            ref_keys = refidx.kmers
+            db_keys = kmc.kmers[order]
+            dbc = kmc.counts[order]
+        if dscorer is not None:
+            dscorer.merge_and_upload(ref_keys, db_keys, dbc)
+        elif get_lib() is not None:
+            u8_pack = merge_counts_u8(ref_keys, db_keys, dbc)
+        elif k > 32:
+            from ..native import wide
+
+            counts_r = wide.merge_counts(
+                ref_keys[0], ref_keys[1], db_keys[0], db_keys[1], dbc
             )
+        else:
+            counts_r = merge_counts(ref_keys, db_keys, dbc)
     else:
         scorer = _make_scorer(args, kmc, k)
 
@@ -245,7 +308,8 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
         if args.feature == "window":
             if use_hybrid:
                 block = _score_fixed_windows_hybrid(
-                    args, index, refidx, counts_r, name, k, sample
+                    args, index, refidx, counts_r, name, k, sample,
+                    plan=plan, u8_pack=u8_pack, dscorer=dscorer,
                 )
             else:
                 block = _score_fixed_windows(args, index, name, k, scorer, sample)
@@ -385,24 +449,51 @@ def _score_fixed_windows_batched(
     return _make_block(sample, name, starts, ends, ids, res, k)
 
 
-def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k, sample):
-    """Hybrid engine: k-mer counts resolved on host (gather of the
-    merge-joined per-unique-kmer counts through the cached per-position
-    index), then every per-window statistic via the global prefix
-    decomposition (engine/prefix_scan.py) - O(L) per chromosome plus
-    O(1) per window."""
-    seq_len = index.get_sequence_length(name)
-    if args.step > 0:
-        starts, ends = sliding_windows(seq_len, args.window, args.step, k)
-    else:
-        starts, ends = tiling_windows(seq_len, args.window, k)
-    if len(starts) == 0:
+def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k,
+                                sample, plan=None, u8_pack=None,
+                                dscorer=None):
+    """Hybrid engine. Default path: the fused native scan - per-window
+    gap-run state machine replayed directly over the cached per-position
+    index with counts gathered from the u8 merge output; static fields
+    (total, eff_length) come from the per-reference window plan. The
+    'dprefix' variant runs the same positional pipeline on the device
+    against a resident reference index. Fallback (no native library):
+    the numpy global prefix decomposition (engine/prefix_scan.py)."""
+    pl = plan[name] if plan is not None else None
+    if pl is None and plan is not None:
         return None
+    if pl is not None:
+        starts, ends = pl["starts"], pl["ends"]
+    else:
+        seq_len = index.get_sequence_length(name)
+        if args.step > 0:
+            starts, ends = sliding_windows(seq_len, args.window, args.step, k)
+        else:
+            starts, ends = tiling_windows(seq_len, args.window, k)
+        if len(starts) == 0:
+            return None
 
     r_idx = refidx.chrom_r_idx[name]  # (L-k+1,)
-    _codes, valid = index.sequence_codes(name)
-    st = chromosome_stats_indirect(counts_r, r_idx, valid, args.min_k_count, k)
-    res = window_stats(st, starts, ends)
+    if dscorer is not None:
+        res = dscorer.score_chrom(name)
+        res["total"] = pl["total"]
+        res["eff_length"] = pl["eff"]
+    elif u8_pack is not None:
+        u8, exc_idx, exc_val = u8_pack
+        res = window_scan_u8(
+            u8, exc_idx, exc_val, r_idx, args.min_k_count, k, starts,
+            ends - k,
+        )
+        res["total"] = pl["total"]
+        res["eff_length"] = pl["eff"]
+    else:
+        valid = (
+            pl["valid"] if pl is not None else index.sequence_codes(name)[1]
+        )
+        st = chromosome_stats_indirect(
+            counts_r, r_idx, valid, args.min_k_count, k
+        )
+        res = window_stats(st, starts, ends)
     ids = [f"{name}_{s}" for s in starts]
     return _make_block(sample, name, starts, ends, ids, res, k)
 

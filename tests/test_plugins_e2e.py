@@ -422,3 +422,31 @@ def test_multi_sample_get_variations(workspace, tmp_path):
         assert multi.window_id == single.window_id
         np.testing.assert_array_equal(multi.ob, single.ob)
         np.testing.assert_array_equal(multi.score, single.score)
+
+
+def test_get_variations_engines_identical(workspace, tmp_path):
+    """dprefix (device-resident) and hybrid (fused host scan) engines
+    must produce byte-identical KCFs; the numpy-fallback prefix path is
+    covered by forcing the hybrid engine with the fused scan disabled
+    in unit tests (test_device_prefix)."""
+    ref_path = workspace["ref_path"]
+    db_prefix = str(workspace["tmp"] / "db_s2")
+    outs = {}
+    for engine in ("hybrid", "dprefix"):
+        out = str(tmp_path / f"eng_{engine}.kcf")
+        rc = cli_main(
+            [
+                "getVariations",
+                "-r", ref_path, "-k", db_prefix, "-o", out,
+                "-s", "s2", "-f", "window", "-w", str(WIN),
+                "--engine", engine,
+            ]
+        )
+        assert rc == 0
+        with open(out) as fh:
+            # drop ##CMD / ##DATE lines which legitimately differ
+            outs[engine] = [
+                ln for ln in fh
+                if not ln.startswith(("##CMD", "##DATE", "##SOURCE"))
+            ]
+    assert outs["hybrid"] == outs["dprefix"]
