@@ -107,7 +107,7 @@ def main():
 
     sweep()  # warm (compiles on the device path; page faults on host)
     best = 0.0
-    for _ in range(7):
+    for _ in range(12):  # the shared host is noisy; best-of-many
         t0 = time.time()
         sweep()
         best = max(best, n_windows / (time.time() - t0))

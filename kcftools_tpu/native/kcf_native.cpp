@@ -207,6 +207,73 @@ static int64_t merge_range_u8(const uint64_t* ref, int64_t lo, int64_t hi,
   return n_exc;
 }
 
+// 4-lane software-pipelined variant: the zipper's serial i/j updates
+// cap a single lane at ~1 advance per 4-5 cycles; running four
+// independent segments interleaved in one loop quadruples the ILP
+// (memory streams are sequential, so the extra streams stay in the
+// hardware prefetchers' budget). Exceptions are rare and collected
+// per lane into caller scratch.
+static int64_t merge_range_u8_lanes(const uint64_t* ref, int64_t lo,
+                                    int64_t hi, const uint64_t* db,
+                                    const uint32_t* db_counts, int64_t n_db,
+                                    uint8_t* out_u8 /* offset by lo */,
+                                    int32_t* exc_idx, uint32_t* exc_val,
+                                    int64_t cap_exc) {
+  constexpr int L = 4;
+  int64_t n = hi - lo;
+  if (n < (1 << 16))
+    return merge_range_u8(ref, lo, hi, db, db_counts, n_db, out_u8, exc_idx,
+                          exc_val, cap_exc);
+  int64_t seg = (n + L - 1) / L;
+  int64_t i[L], end[L], j[L];
+  for (int l = 0; l < L; ++l) {
+    i[l] = lo + l * seg;
+    end[l] = std::min(hi, i[l] + seg);
+    if (i[l] >= end[l]) {
+      i[l] = end[l] = hi;
+      j[l] = n_db;
+    } else {
+      j[l] = std::lower_bound(db, db + n_db, ref[i[l]]) - db;
+    }
+  }
+  int64_t n_exc = 0;
+  // exceptions must come out ordered by index: collect per lane
+  std::vector<int32_t> li[L];
+  std::vector<uint32_t> lv[L];
+  bool overflow = false;
+  while (true) {
+    bool active = false;
+    for (int l = 0; l < L; ++l) {
+      if (i[l] < end[l] && j[l] < n_db) {
+        active = true;
+        uint64_t r = ref[i[l]], d = db[j[l]];
+        uint32_t c = (d == r) ? db_counts[j[l]] : 0;
+        out_u8[i[l] - lo] = (uint8_t)(c < 255u ? c : 255u);
+        if (__builtin_expect(c >= 255u, 0)) {
+          li[l].push_back((int32_t)i[l]);
+          lv[l].push_back(c);
+        }
+        i[l] += (d >= r);
+        j[l] += (d <= r);
+      }
+    }
+    if (!active) break;
+  }
+  for (int l = 0; l < L; ++l)
+    for (int64_t p = i[l]; p < end[l]; ++p) out_u8[p - lo] = 0;
+  for (int l = 0; l < L; ++l) {
+    int64_t m = (int64_t)li[l].size();
+    if (n_exc + m > cap_exc) {
+      overflow = true;
+      break;
+    }
+    std::memcpy(exc_idx + n_exc, li[l].data(), sizeof(int32_t) * m);
+    std::memcpy(exc_val + n_exc, lv[l].data(), sizeof(uint32_t) * m);
+    n_exc += m;
+  }
+  return overflow ? -1 : n_exc;
+}
+
 int64_t kcf_merge_counts_u8(const uint64_t* ref, int64_t lo, int64_t hi,
                             const uint64_t* db, const uint32_t* db_counts,
                             int64_t n_db, uint8_t* out_u8, int32_t* exc_idx,
@@ -214,8 +281,8 @@ int64_t kcf_merge_counts_u8(const uint64_t* ref, int64_t lo, int64_t hi,
   int64_t n = hi - lo;
   unsigned hw = std::thread::hardware_concurrency();
   if (hw <= 1 || n < (1 << 19))
-    return merge_range_u8(ref, lo, hi, db, db_counts, n_db, out_u8, exc_idx,
-                          exc_val, cap_exc);
+    return merge_range_u8_lanes(ref, lo, hi, db, db_counts, n_db, out_u8,
+                                exc_idx, exc_val, cap_exc);
   int n_threads = (int)std::min<unsigned>(hw, 8);
   int64_t step = (n + n_threads - 1) / n_threads;
   std::vector<int64_t> rc(n_threads, 0);
@@ -229,8 +296,9 @@ int64_t kcf_merge_counts_u8(const uint64_t* ref, int64_t lo, int64_t hi,
       if (a >= b) return;
       t_idx[t].resize((size_t)cap_exc);
       t_val[t].resize((size_t)cap_exc);
-      rc[t] = merge_range_u8(ref, a, b, db, db_counts, n_db, out_u8 + (a - lo),
-                             t_idx[t].data(), t_val[t].data(), cap_exc);
+      rc[t] = merge_range_u8_lanes(ref, a, b, db, db_counts, n_db,
+                                   out_u8 + (a - lo), t_idx[t].data(),
+                                   t_val[t].data(), cap_exc);
     });
   }
   for (auto& w : workers) w.join();
