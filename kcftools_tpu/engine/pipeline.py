@@ -115,7 +115,7 @@ def _unstack(arr: np.ndarray):
 
 
 def score_windows_device(
-    codes, valid, win_len, t_hi, t_lo, t_cnt, *, k: int, min_count: int,
+    codes, valid, win_len, tbl, *, k: int, min_count: int,
     both_strands: bool
 ):
     """Single-device scoring: core pipeline with a local table lookup."""
@@ -123,14 +123,14 @@ def score_windows_device(
         codes,
         valid,
         win_len,
-        lambda hi, lo: table_lookup(hi, lo, t_hi, t_lo, t_cnt),
+        lambda hi, lo: table_lookup(hi, lo, tbl),
         k=k,
         min_count=min_count,
         both_strands=both_strands,
     )
 
 
-def _score_u8_batch(u8, win_len, t_hi, t_lo, t_cnt, *, k, min_count, both_strands):
+def _score_u8_batch(u8, win_len, tbl, *, k, min_count, both_strands):
     """u8: (B, Lp) uint8 codes with SENTINEL marking invalid positions."""
     valid = u8 < SENTINEL
     codes = jnp.where(valid, u8, jnp.uint8(0)).astype(jnp.uint32)
@@ -138,7 +138,7 @@ def _score_u8_batch(u8, win_len, t_hi, t_lo, t_cnt, *, k, min_count, both_strand
         codes,
         valid,
         win_len,
-        lambda hi, lo: table_lookup(hi, lo, t_hi, t_lo, t_cnt),
+        lambda hi, lo: table_lookup(hi, lo, tbl),
         k=k,
         min_count=min_count,
         both_strands=both_strands,
@@ -146,7 +146,7 @@ def _score_u8_batch(u8, win_len, t_hi, t_lo, t_cnt, *, k, min_count, both_strand
     return _stack_results(res)
 
 
-def _score_chunk(chunk_u8, starts, win_len, t_hi, t_lo, t_cnt, *, Lp, k,
+def _score_chunk(chunk_u8, starts, win_len, tbl, *, Lp, k,
                  min_count, both_strands):
     """chunk_u8: (C,) uint8 sentinel codes of a chromosome chunk; windows
     are gathered on device, so the host uploads each base once."""
@@ -162,7 +162,7 @@ def _score_chunk(chunk_u8, starts, win_len, t_hi, t_lo, t_cnt, *, Lp, k,
         codes,
         valid,
         win_len,
-        lambda hi, lo: table_lookup(hi, lo, t_hi, t_lo, t_cnt),
+        lambda hi, lo: table_lookup(hi, lo, tbl),
         k=k,
         min_count=min_count,
         both_strands=both_strands,
@@ -306,9 +306,7 @@ class WindowScorer:
         self.both_strands = table.both_strands
         self.device = device
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
-        self.t_hi = put(table.hi)
-        self.t_lo = put(table.lo)
-        self.t_cnt = put(table.counts)
+        self.tbl = put(table.tbl)
         self._fns = {}
         self._chunk_fns = {}
 
@@ -345,9 +343,7 @@ class WindowScorer:
         return self._fn(u8.shape[1])(
             jnp.asarray(u8),
             jnp.asarray(win_len, jnp.int32),
-            self.t_hi,
-            self.t_lo,
-            self.t_cnt,
+            self.tbl,
         )
 
     def score_batch(self, codes, valid, win_len):
@@ -362,9 +358,7 @@ class WindowScorer:
             chunk_u8 if isinstance(chunk_u8, jax.Array) else jnp.asarray(chunk_u8),
             jnp.asarray(starts, jnp.int32),
             jnp.asarray(win_len, jnp.int32),
-            self.t_hi,
-            self.t_lo,
-            self.t_cnt,
+            self.tbl,
         )
 
     @staticmethod

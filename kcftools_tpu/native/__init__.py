@@ -54,12 +54,14 @@ def get_lib():
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.kcf_build_table.restype = ctypes.c_int
         lib.kcf_build_table.argtypes = [u32p] * 3 + [ctypes.c_int64] + [u32p] * 3 + [
-            ctypes.c_int64
+            ctypes.c_int64,
+            ctypes.c_int32,
         ]
         lib.kcf_lookup.restype = None
         lib.kcf_lookup.argtypes = [u32p, u32p, ctypes.c_int64] + [u32p] * 3 + [
             ctypes.c_int64,
             u32p,
+            ctypes.c_int32,
         ]
         lib.kcf_encode_bases.restype = None
         lib.kcf_encode_bases.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
@@ -769,21 +771,22 @@ def f32_seq_group_mean(scores_f64, group_off):
     return out
 
 
-def build_table_native(hi, lo, counts, nb):
+def build_table_native(hi, lo, counts, nb, slots=4):
     """Returns (t_hi, t_lo, t_cnt) or None on overflow / no native lib."""
     lib = get_lib()
     if lib is None:
         return None
     n = hi.shape[0]
-    t_hi = np.zeros((nb, 8), np.uint32)
-    t_lo = np.zeros((nb, 8), np.uint32)
-    t_cnt = np.zeros((nb, 8), np.uint32)
+    t_hi = np.zeros((nb, slots), np.uint32)
+    t_lo = np.zeros((nb, slots), np.uint32)
+    t_cnt = np.zeros((nb, slots), np.uint32)
     hi = np.ascontiguousarray(hi, np.uint32)
     lo = np.ascontiguousarray(lo, np.uint32)
     counts = np.ascontiguousarray(counts, np.uint32)
     rc = lib.kcf_build_table(
         _u32p(hi), _u32p(lo), _u32p(counts), n,
         _u32p(t_hi), _u32p(t_lo), _u32p(t_cnt), nb,
+        ctypes.c_int32(slots),
     )
     if rc != 0:
         return None

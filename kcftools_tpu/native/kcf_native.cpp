@@ -24,7 +24,10 @@
 
 namespace {
 
-constexpr int BUCKET_SLOTS = 8;
+// Bucket slot count is a build-time parameter now (the device layout
+// moved from (nb, 8) x 3 arrays to one interleaved (nb, 3*S) array with
+// S=4: one 48-byte row gather per probed bucket instead of three 32-byte
+// gathers - 4x less HBM traffic per query at a higher load factor).
 
 inline uint32_t fmix32(uint32_t h) {
   h ^= h >> 16;
@@ -59,13 +62,14 @@ struct XorShift {
 extern "C" {
 
 // Returns 0 on success, -1 when an eviction walk exceeds its budget
-// (caller should grow the table and retry).
+// (caller should grow the table and retry). slots must be a power of 2.
 int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
                     const uint32_t* counts, int64_t n, uint32_t* t_hi,
-                    uint32_t* t_lo, uint32_t* t_cnt, int64_t nb) {
+                    uint32_t* t_lo, uint32_t* t_cnt, int64_t nb,
+                    int32_t slots) {
   const uint32_t mask = static_cast<uint32_t>(nb - 1);
   std::vector<uint8_t> fill(static_cast<size_t>(nb), 0);
-  std::memset(t_cnt, 0, sizeof(uint32_t) * static_cast<size_t>(nb) * BUCKET_SLOTS);
+  std::memset(t_cnt, 0, sizeof(uint32_t) * static_cast<size_t>(nb) * slots);
   XorShift rng(0xC0FFEEULL);
 
   for (int64_t i = 0; i < n; ++i) {
@@ -73,8 +77,8 @@ int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
     uint32_t b1 = hash1(khi, klo, mask);
     uint32_t b2 = hash2(khi, klo, mask);
     uint32_t b = (fill[b1] <= fill[b2]) ? b1 : b2;
-    if (fill[b] < BUCKET_SLOTS) {
-      int64_t at = static_cast<int64_t>(b) * BUCKET_SLOTS + fill[b];
+    if (fill[b] < slots) {
+      int64_t at = static_cast<int64_t>(b) * slots + fill[b];
       t_hi[at] = khi;
       t_lo[at] = klo;
       t_cnt[at] = kc;
@@ -84,8 +88,8 @@ int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
     // both candidate buckets full -> random-walk eviction
     bool placed = false;
     for (int step = 0; step < 4000; ++step) {
-      int slot = static_cast<int>(rng.next() & (BUCKET_SLOTS - 1));
-      int64_t at = static_cast<int64_t>(b) * BUCKET_SLOTS + slot;
+      int slot = static_cast<int>(rng.next() & (uint32_t)(slots - 1));
+      int64_t at = static_cast<int64_t>(b) * slots + slot;
       uint32_t vhi = t_hi[at], vlo = t_lo[at], vc = t_cnt[at];
       t_hi[at] = khi;
       t_lo[at] = klo;
@@ -96,8 +100,8 @@ int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
       uint32_t v1 = hash1(khi, klo, mask);
       uint32_t v2 = hash2(khi, klo, mask);
       b = (v1 == b) ? v2 : v1;
-      if (fill[b] < BUCKET_SLOTS) {
-        int64_t at2 = static_cast<int64_t>(b) * BUCKET_SLOTS + fill[b];
+      if (fill[b] < slots) {
+        int64_t at2 = static_cast<int64_t>(b) * slots + fill[b];
         t_hi[at2] = khi;
         t_lo[at2] = klo;
         t_cnt[at2] = kc;
@@ -114,20 +118,21 @@ int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
 // Batched host-side lookup (CPU fallback path / verification).
 void kcf_lookup(const uint32_t* qhi, const uint32_t* qlo, int64_t n,
                 const uint32_t* t_hi, const uint32_t* t_lo,
-                const uint32_t* t_cnt, int64_t nb, uint32_t* out) {
+                const uint32_t* t_cnt, int64_t nb, uint32_t* out,
+                int32_t slots) {
   const uint32_t mask = static_cast<uint32_t>(nb - 1);
   for (int64_t i = 0; i < n; ++i) {
     uint32_t hi = qhi[i], lo = qlo[i];
     uint32_t b1 = hash1(hi, lo, mask);
     uint32_t b2 = hash2(hi, lo, mask);
     uint32_t r = 0;
-    for (int s = 0; s < BUCKET_SLOTS; ++s) {
-      int64_t at = static_cast<int64_t>(b1) * BUCKET_SLOTS + s;
+    for (int s = 0; s < slots; ++s) {
+      int64_t at = static_cast<int64_t>(b1) * slots + s;
       if (t_hi[at] == hi && t_lo[at] == lo && t_cnt[at] != 0) r = t_cnt[at];
     }
     if (b2 != b1) {
-      for (int s = 0; s < BUCKET_SLOTS; ++s) {
-        int64_t at = static_cast<int64_t>(b2) * BUCKET_SLOTS + s;
+      for (int s = 0; s < slots; ++s) {
+        int64_t at = static_cast<int64_t>(b2) * slots + s;
         if (t_hi[at] == hi && t_lo[at] == lo && t_cnt[at] != 0) r = t_cnt[at];
       }
     }

@@ -32,24 +32,27 @@ def bucket_hashes_jnp(hi, lo, n_buckets: int):
     return h1, h2
 
 
-def table_lookup(hi, lo, t_hi, t_lo, t_cnt):
-    """Counts for queries (hi, lo) of any shape against table arrays of
-    shape (nb, 8). Returns uint32 counts, 0 for absent keys."""
-    nb = t_hi.shape[0]
+def table_lookup(hi, lo, tbl):
+    """Counts for queries (hi, lo) of any shape against the interleaved
+    table (nb, 3*S): row = [hi x S | lo x S | cnt x S]. One row gather
+    per probed bucket (the layout exists to make each gather pull one
+    contiguous 48-byte line). Returns uint32 counts, 0 for absent keys."""
+    nb = tbl.shape[0]
+    S = tbl.shape[1] // 3
     h1, h2 = bucket_hashes_jnp(hi, lo, nb)
     out = jnp.zeros(hi.shape, jnp.uint32)
     # a key lives in exactly one bucket; when h1 == h2 only count it once
     for b, dedup in ((h1, None), (h2, h2 != h1)):
-        rows_hi = t_hi[b]  # (..., 8)
-        rows_lo = t_lo[b]
-        rows_cnt = t_cnt[b]
+        rows = tbl[b]  # (..., 3*S) - a single contiguous row gather
         match = (
-            (rows_hi == hi[..., None])
-            & (rows_lo == lo[..., None])
-            & (rows_cnt != 0)
+            (rows[..., 0:S] == hi[..., None])
+            & (rows[..., S : 2 * S] == lo[..., None])
+            & (rows[..., 2 * S :] != 0)
         )
         contrib = jnp.sum(
-            jnp.where(match, rows_cnt, jnp.uint32(0)), axis=-1, dtype=jnp.uint32
+            jnp.where(match, rows[..., 2 * S :], jnp.uint32(0)),
+            axis=-1,
+            dtype=jnp.uint32,
         )
         if dedup is not None:
             contrib = jnp.where(dedup, contrib, jnp.uint32(0))

@@ -29,12 +29,13 @@ except ImportError:  # older fallback
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
-def _sharded_lookup(hi, lo, t_hi, t_lo, t_cnt, nb_total, axis="table"):
+def _sharded_lookup(hi, lo, tbl, nb_total, axis="table"):
     """Lookup against the local bucket shard; caller psums over `axis`.
 
-    t_* are local shards of shape (nb_local, 8) holding global buckets
-    [shard*nb_local, (shard+1)*nb_local)."""
-    nb_local = t_hi.shape[0]
+    tbl is the local shard (nb_local, 3*S) of the interleaved table,
+    holding global buckets [shard*nb_local, (shard+1)*nb_local)."""
+    nb_local = tbl.shape[0]
+    S = tbl.shape[1] // 3
     my = jax.lax.axis_index(axis)
     base = my.astype(jnp.uint32) * jnp.uint32(nb_local)
     h1, h2 = bucket_hashes_jnp(hi, lo, nb_total)
@@ -43,17 +44,17 @@ def _sharded_lookup(hi, lo, t_hi, t_lo, t_cnt, nb_total, axis="table"):
         local = b - base
         owned = local < jnp.uint32(nb_local)  # uint wrap makes this a range test
         safe = jnp.where(owned, local, 0).astype(jnp.int32)
-        rows_hi = t_hi[safe]
-        rows_lo = t_lo[safe]
-        rows_cnt = t_cnt[safe]
+        rows = tbl[safe]
         match = (
-            (rows_hi == hi[..., None])
-            & (rows_lo == lo[..., None])
-            & (rows_cnt != 0)
+            (rows[..., 0:S] == hi[..., None])
+            & (rows[..., S : 2 * S] == lo[..., None])
+            & (rows[..., 2 * S :] != 0)
             & owned[..., None]
         )
         contrib = jnp.sum(
-            jnp.where(match, rows_cnt, jnp.uint32(0)), axis=-1, dtype=jnp.uint32
+            jnp.where(match, rows[..., 2 * S :], jnp.uint32(0)),
+            axis=-1,
+            dtype=jnp.uint32,
         )
         if dedup is not None:
             contrib = jnp.where(dedup, contrib, jnp.uint32(0))
@@ -68,9 +69,9 @@ def make_sharded_scorer(mesh, *, k, min_count, both_strands, nb_total):
     sharded along 'data'; table arrays (nb_total, 8) sharded along
     'table'. B must be divisible by the data-axis size."""
 
-    def local_fn(codes, valid, win_len, t_hi, t_lo, t_cnt):
+    def local_fn(codes, valid, win_len, tbl):
         def lookup(hi, lo):
-            partial = _sharded_lookup(hi, lo, t_hi, t_lo, t_cnt, nb_total)
+            partial = _sharded_lookup(hi, lo, tbl, nb_total)
             return jax.lax.psum(partial, "table")
 
         res = score_windows_core(
@@ -92,8 +93,6 @@ def make_sharded_scorer(mesh, *, k, min_count, both_strands, nb_total):
             P("data", None),
             P("data"),
             P("table", None),
-            P("table", None),
-            P("table", None),
         ),
         out_specs=P(None, "data"),
         check_vma=False,
@@ -112,15 +111,13 @@ class ShardedWindowScorer:
         self.data_parallel = mesh.shape["data"]
         tspec = NamedSharding(mesh, P("table", None))
         t_axis = mesh.shape["table"]
-        nb = table.hi.shape[0]
+        nb = table.n_buckets
         # the bucket-ownership arithmetic needs the power-of-two bucket
         # count split evenly across the table axis
         if nb % t_axis:
             raise ValueError(f"table axis {t_axis} must divide bucket count {nb}")
         self.nb_total = nb
-        self.t_hi = jax.device_put(table.hi, tspec)
-        self.t_lo = jax.device_put(table.lo, tspec)
-        self.t_cnt = jax.device_put(table.counts, tspec)
+        self.tbl = jax.device_put(table.tbl, tspec)
         self._fns = {}
         self._dspec = NamedSharding(mesh, P("data", None))
         self._dspec1 = NamedSharding(mesh, P("data"))
@@ -152,9 +149,7 @@ class ShardedWindowScorer:
             jax.device_put(jnp.asarray(codes, jnp.uint32), self._dspec),
             jax.device_put(jnp.asarray(valid, bool), self._dspec),
             jax.device_put(jnp.asarray(win_len, jnp.int32), self._dspec1),
-            self.t_hi,
-            self.t_lo,
-            self.t_cnt,
+            self.tbl,
         )
         return (handle, B)
 
