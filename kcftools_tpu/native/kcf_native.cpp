@@ -279,11 +279,188 @@ static int64_t merge_range_u8_lanes(const uint64_t* ref, int64_t lo,
   return overflow ? -1 : n_exc;
 }
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+
+// AVX-512 sorted-set intersection: 8 ref keys x 8 db keys all-pairs per
+// iteration (8 VALIGNQ rotations + VPCMPEQ), matched count byte selected
+// with one VPERMB through an OR-tree of disjoint per-lane byte indices
+// (both sides are unique so at most one rotation matches a lane). The
+// loop is branchless: stores are unconditional (a later iteration's
+// write wins until the ref block retires) and block advances are
+// arithmetic, so the ~50/50 advance pattern costs no mispredicts.
+// ~4x faster than the scalar zipper on 2 cores. Counts are u8-saturated
+// by the caller; exception (>=255) fixup happens outside.
+__attribute__((target("avx512f,avx512bw,avx512vbmi,avx512vl")))
+static void merge_range_u8_simd(const uint64_t* ref, int64_t lo, int64_t hi,
+                                const uint64_t* db, const uint8_t* db_cnt8,
+                                int64_t n_db, uint8_t* out_u8) {
+  int64_t i = lo;
+  int64_t j = 0;
+  if (i < hi) j = (std::lower_bound(db, db + n_db, ref[lo]) - db) & ~7LL;
+  // lane l, rotation r selects count byte l*8 + ((l+r)&7) of the
+  // broadcast 8-byte count block
+  __m512i off[8];
+  for (int r = 0; r < 8; ++r) {
+    alignas(64) int8_t o[64] = {0};
+    for (int l = 0; l < 8; ++l) o[l * 8] = (int8_t)(l * 8 + ((l + r) & 7));
+    off[r] = _mm512_load_si512(o);
+  }
+  const __m512i pack_sel = _mm512_set_epi64(0, 0, 0, 0, 0, 0, 0,
+                                            0x3830282018100800LL);
+  __m512i cnt_acc = _mm512_setzero_si512();
+  while (i + 8 <= hi && j + 8 <= n_db) {
+    __m512i R = _mm512_loadu_si512(ref + i);
+    __m512i D = _mm512_loadu_si512(db + j);
+    uint64_t cbytes;
+    std::memcpy(&cbytes, db_cnt8 + j, 8);
+    __m512i C = _mm512_set1_epi64((long long)cbytes);
+    __mmask8 m[8];
+    __m512i sel[8];
+    m[0] = _mm512_cmpeq_epu64_mask(R, D);
+    sel[0] = _mm512_maskz_mov_epi64(m[0], off[0]);
+    for (int r = 1; r < 8; ++r) {
+      __m512i Dr = _mm512_alignr_epi64(D, D, r);
+      m[r] = _mm512_cmpeq_epu64_mask(R, Dr);
+      sel[r] = _mm512_maskz_mov_epi64(m[r], off[r]);
+    }
+    __m512i s01 = _mm512_or_si512(sel[0], sel[1]);
+    __m512i s23 = _mm512_or_si512(sel[2], sel[3]);
+    __m512i s45 = _mm512_or_si512(sel[4], sel[5]);
+    __m512i s67 = _mm512_or_si512(sel[6], sel[7]);
+    __m512i idx = _mm512_or_si512(_mm512_or_si512(s01, s23),
+                                  _mm512_or_si512(s45, s67));
+    __mmask8 found = (__mmask8)(m[0] | m[1] | m[2] | m[3] | m[4] | m[5] |
+                                m[6] | m[7]);
+    cnt_acc = _mm512_mask_mov_epi64(
+        cnt_acc, found, _mm512_permutexvar_epi8(idx, C));
+    uint64_t rmax = ref[i + 7], dmax = db[j + 7];
+    __m512i packed = _mm512_permutexvar_epi8(pack_sel, cnt_acc);
+    uint64_t bytes =
+        (uint64_t)_mm_cvtsi128_si64(_mm512_castsi512_si128(packed));
+    std::memcpy(out_u8 + (i - lo), &bytes, 8);
+    int adv_r = rmax <= dmax;
+    int adv_d = dmax <= rmax;
+    cnt_acc = _mm512_maskz_mov_epi64((__mmask8)(adv_r ? 0 : 0xFF), cnt_acc);
+    i += (int64_t)adv_r * 8;
+    j += (int64_t)adv_d * 8;
+  }
+  // scalar tail; also re-does any partially processed ref block
+  if (i < hi) {
+    int64_t jj = std::lower_bound(db, db + n_db, ref[i]) - db;
+    while (i < hi && jj < n_db) {
+      uint64_t rr = ref[i], dd = db[jj];
+      out_u8[i - lo] = (dd == rr) ? db_cnt8[jj] : 0;
+      i += (dd >= rr);
+      jj += (dd <= rr);
+    }
+    for (; i < hi; ++i) out_u8[i - lo] = 0;
+  }
+}
+
+// saturating u32 -> u8 count conversion (VPMOVUSDB), collecting indices
+// of counts >= 255 into exc (returns count, or -1 on overflow)
+__attribute__((target("avx512f,avx512bw,avx512vl")))
+static int64_t saturate_counts(const uint32_t* in, int64_t n, uint8_t* out,
+                               int64_t* exc, int64_t cap_exc) {
+  int64_t n_exc = 0;
+  int64_t i = 0;
+  const __m512i lim = _mm512_set1_epi32(255);
+  for (; i + 16 <= n; i += 16) {
+    __m512i v = _mm512_loadu_si512(in + i);
+    _mm_storeu_si128((__m128i*)(out + i), _mm512_cvtusepi32_epi8(v));
+    __mmask16 big = _mm512_cmpge_epu32_mask(v, lim);
+    while (big) {
+      int l = __builtin_ctz(big);
+      big &= big - 1;
+      if (n_exc >= cap_exc) return -1;
+      exc[n_exc++] = i + l;
+    }
+  }
+  for (; i < n; ++i) {
+    uint32_t c = in[i];
+    out[i] = (uint8_t)(c < 255u ? c : 255u);
+    if (c >= 255u) {
+      if (n_exc >= cap_exc) return -1;
+      exc[n_exc++] = i;
+    }
+  }
+  return n_exc;
+}
+
+static bool cpu_simd_merge() {
+  static int ok = -1;
+  if (ok < 0)
+    ok = (__builtin_cpu_supports("avx512f") &&
+          __builtin_cpu_supports("avx512bw") &&
+          __builtin_cpu_supports("avx512vl") &&
+          __builtin_cpu_supports("avx512vbmi"))
+             ? 1
+             : 0;
+  return ok == 1;
+}
+
+// SIMD path for kcf_merge_counts_u8: saturate db counts once, run the
+// vector intersection across threads, then translate the (rare) db-side
+// >=255 exceptions into ref-indexed exceptions by binary search.
+static int64_t merge_counts_u8_simd(const uint64_t* ref, int64_t lo,
+                                    int64_t hi, const uint64_t* db,
+                                    const uint32_t* db_counts, int64_t n_db,
+                                    uint8_t* out_u8, int32_t* exc_idx,
+                                    uint32_t* exc_val, int64_t cap_exc) {
+  static thread_local std::vector<uint8_t> cnt8;
+  static thread_local std::vector<int64_t> db_exc;
+  if ((int64_t)cnt8.size() < n_db) cnt8.resize(n_db);
+  if ((int64_t)db_exc.size() < cap_exc) db_exc.resize(cap_exc);
+  int64_t n_db_exc =
+      saturate_counts(db_counts, n_db, cnt8.data(), db_exc.data(), cap_exc);
+  if (n_db_exc < 0) return -1;
+
+  int64_t n = hi - lo;
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads =
+      (hw > 1 && n >= (1 << 19)) ? (int)std::min<unsigned>(hw, 8) : 1;
+  if (n_threads <= 1) {
+    merge_range_u8_simd(ref, lo, hi, db, cnt8.data(), n_db, out_u8);
+  } else {
+    int64_t step = (n + n_threads - 1) / n_threads;
+    std::vector<std::thread> workers;
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t a = lo + t * step;
+      int64_t b = std::min(hi, a + step);
+      if (a >= b) break;
+      workers.emplace_back(merge_range_u8_simd, ref, a, b, db, cnt8.data(),
+                           n_db, out_u8 + (a - lo));
+    }
+    for (auto& w : workers) w.join();
+  }
+
+  // db exceptions -> ref-indexed exceptions (sorted: db order == key order)
+  int64_t n_exc = 0;
+  for (int64_t e = 0; e < n_db_exc; ++e) {
+    uint64_t key = db[db_exc[e]];
+    const uint64_t* p = std::lower_bound(ref + lo, ref + hi, key);
+    if (p != ref + hi && *p == key) {
+      if (n_exc >= cap_exc) return -1;
+      exc_idx[n_exc] = (int32_t)(p - ref);
+      exc_val[n_exc] = db_counts[db_exc[e]];
+      ++n_exc;
+    }
+  }
+  return n_exc;
+}
+#endif  // __x86_64__
+
 int64_t kcf_merge_counts_u8(const uint64_t* ref, int64_t lo, int64_t hi,
                             const uint64_t* db, const uint32_t* db_counts,
                             int64_t n_db, uint8_t* out_u8, int32_t* exc_idx,
                             uint32_t* exc_val, int64_t cap_exc) {
   int64_t n = hi - lo;
+#if defined(__x86_64__)
+  if (cpu_simd_merge() && n >= (1 << 12) && n_db >= 8)
+    return merge_counts_u8_simd(ref, lo, hi, db, db_counts, n_db, out_u8,
+                                exc_idx, exc_val, cap_exc);
+#endif
   unsigned hw = std::thread::hardware_concurrency();
   if (hw <= 1 || n < (1 << 19))
     return merge_range_u8_lanes(ref, lo, hi, db, db_counts, n_db, out_u8,

@@ -203,3 +203,42 @@ def test_merge_counts_u8_matches_u32(rng):
     np.testing.assert_array_equal(np.concatenate([u8a, u8b]), u8)
     np.testing.assert_array_equal(np.concatenate([eia, eib]), ei)
     np.testing.assert_array_equal(np.concatenate([eva, evb]), ev)
+
+
+def test_merge_counts_u8_threaded_simd(rng):
+    # large enough to cross the multi-thread threshold (1 << 19)
+    n = 700_000
+    refk = np.unique(rng.integers(0, 1 << 62, n).astype(np.uint64))
+    db = refk.copy()
+    # drop ~25% of keys, add ~25% new ones (SNP-like workload shape)
+    keep = rng.random(db.shape[0]) > 0.25
+    db = np.unique(np.concatenate([
+        db[keep], rng.integers(0, 1 << 62, n // 4).astype(np.uint64)
+    ]))
+    dbc = rng.integers(1, 50, db.shape[0]).astype(np.uint32)
+    # sprinkle saturating counts
+    big = rng.integers(0, db.shape[0], 200)
+    dbc[big] = rng.integers(255, 100_000, 200).astype(np.uint32)
+    exact = merge_counts(refk, db, dbc)
+    u8, ei, ev = merge_counts_u8(refk, db, dbc)
+    rebuilt = u8.astype(np.uint32)
+    rebuilt[ei] = ev
+    np.testing.assert_array_equal(rebuilt, exact)
+    assert (np.diff(ei) > 0).all()  # exception list sorted by ref index
+
+
+def test_merge_counts_u8_edge_sizes(rng):
+    # sizes around SIMD block/tail boundaries and tiny dbs
+    for n_ref, n_db in [(1, 1), (7, 3), (8, 8), (9, 17), (4097, 5),
+                        (5000, 4999), (4096 + 7, 4096 + 9)]:
+        refk = np.unique(rng.integers(0, 1 << 40, n_ref).astype(np.uint64))
+        db = np.unique(rng.integers(0, 1 << 40, n_db).astype(np.uint64))
+        m = min(len(refk) // 2, len(db))
+        db[:m] = refk[:m]
+        db = np.unique(db)
+        dbc = rng.integers(1, 300, db.shape[0]).astype(np.uint32)
+        exact = merge_counts(refk, db, dbc)
+        u8, ei, ev = merge_counts_u8(refk, db, dbc)
+        rebuilt = u8.astype(np.uint32)
+        rebuilt[ei] = ev
+        np.testing.assert_array_equal(rebuilt, exact)
