@@ -86,9 +86,9 @@ def get_lib():
         _i64p = ctypes.POINTER(ctypes.c_int64)
         lib.kcf_window_scan_u8.restype = None
         lib.kcf_window_scan_u8.argtypes = [
-            u8p, i32p, u32p, ctypes.c_int64, i32p, ctypes.c_int64,
-            ctypes.c_uint32, ctypes.c_int32, i32p, i32p, ctypes.c_int64,
-            _i64p,
+            u8p, ctypes.c_int64, i32p, u32p, ctypes.c_int64, i32p,
+            ctypes.c_int64, ctypes.c_uint32, ctypes.c_int32, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int32, _i64p,
         ]
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.kcf_chrom_stats2.restype = None
@@ -287,8 +287,10 @@ def window_scan_u8(counts_u8, exc_idx, exc_val, r_idx, min_count, k,
     n_win = w_start.shape[0]
     out = np.empty((6, n_win), np.int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    flags = 1 if os.environ.get("KCFTOOLS_NO_SIMD") else 0
     lib.kcf_window_scan_u8(
         counts_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        counts_u8.shape[0],
         exc_idx.ctypes.data_as(i32p),
         _u32p(exc_val),
         exc_idx.shape[0],
@@ -299,6 +301,7 @@ def window_scan_u8(counts_u8, exc_idx, exc_val, r_idx, min_count, k,
         w_start.ctypes.data_as(i32p),
         w_hi.ctypes.data_as(i32p),
         n_win,
+        ctypes.c_int32(flags),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return {

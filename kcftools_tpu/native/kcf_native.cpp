@@ -586,17 +586,259 @@ void window_scan_range(const uint8_t* counts, const int32_t* exc_idx,
   }
 }
 
+#if defined(__x86_64__)
+// SIMD window scan: pass A gathers per-position count bytes into a
+// thread-local position-ordered buffer (VPGATHERDD hides the random
+// access latency behind 16-wide memory-level parallelism) plus an
+// invalid-position bitmap and >=255 exception position list; pass B
+// walks each window 64 positions at a time - present mask via
+// VPCMPGEUB, count sums via VPSADBW, and the gap-run state machine
+// replayed with tzcnt run extraction over the mask words. Windows that
+// contain non-ACGT (invalid) positions take a scalar walk over the
+// same L1-resident buffers.
+__attribute__((target("avx512f,avx512bw,avx512vl")))
+void window_scan_range_simd(const uint8_t* counts, int64_t n_counts,
+                            const int32_t* exc_idx, const uint32_t* exc_val,
+                            int64_t n_exc, const int32_t* r_idx,
+                            int64_t n_pos, uint32_t min_count, int32_t k,
+                            const int32_t* w_start, const int32_t* w_hi,
+                            int64_t w_lo, int64_t w_end, int64_t n_win,
+                            int64_t* out) {
+  int64_t* o_obs = out;
+  int64_t* o_var = out + n_win;
+  int64_t* o_inn = out + 2 * n_win;
+  int64_t* o_lft = out + 3 * n_win;
+  int64_t* o_rgt = out + 4 * n_win;
+  int64_t* o_cnt = out + 5 * n_win;
+
+  int64_t base = w_start[w_lo];
+  int64_t endp = -1;
+  for (int64_t w = w_lo; w < w_end; ++w) {
+    if (w_start[w] < base) base = w_start[w];
+    if (w_hi[w] > endp) endp = w_hi[w];
+  }
+  if (endp >= n_pos) endp = n_pos - 1;
+  int64_t span = endp - base + 1;
+  if (span <= 0) {
+    for (int64_t w = w_lo; w < w_end; ++w) {
+      o_obs[w] = o_var[w] = o_inn[w] = o_lft[w] = o_rgt[w] = o_cnt[w] = 0;
+    }
+    return;
+  }
+  static thread_local std::vector<uint8_t> cbuf_v;
+  static thread_local std::vector<uint64_t> ibits_v;
+  static thread_local std::vector<int64_t> excpos_v;
+  if ((int64_t)cbuf_v.size() < span + 64) cbuf_v.resize(span + 64);
+  int64_t n_words = (span + 63) / 64 + 1;
+  if ((int64_t)ibits_v.size() < n_words) ibits_v.resize(n_words);
+  std::memset(ibits_v.data(), 0, n_words * sizeof(uint64_t));
+  excpos_v.clear();
+  uint8_t* cbuf = cbuf_v.data();
+  uint64_t* ibits = ibits_v.data();
+
+  // ---- pass A: gather counts to position order
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i ffm = _mm512_set1_epi32(0xFF);
+  const __m512i cap = _mm512_set1_epi32((int)(n_counts - 4));
+  const __m128i v255 = _mm_set1_epi8((char)0xFF);
+  int64_t p = base;
+  for (; p + 16 <= endp + 1; p += 16) {
+    __m512i ri = _mm512_loadu_si512(r_idx + p);
+    __mmask16 valid = _mm512_cmpge_epi32_mask(ri, zero);
+    __mmask16 ok = valid & _mm512_cmple_epi32_mask(ri, cap);
+    __m128i bytes;
+    if (__builtin_expect(ok == valid, 1)) {
+      __m512i g = _mm512_mask_i32gather_epi32(zero, valid, ri, counts, 1);
+      bytes = _mm512_cvtepi32_epi8(_mm512_and_si512(g, ffm));
+    } else {
+      alignas(16) uint8_t tmp[16];
+      for (int l = 0; l < 16; ++l) {
+        int32_t r = r_idx[p + l];
+        tmp[l] = (r >= 0) ? counts[r] : 0;
+      }
+      bytes = _mm_load_si128((const __m128i*)tmp);
+    }
+    int64_t rel = p - base;
+    _mm_storeu_si128((__m128i*)(cbuf + rel), bytes);
+    uint16_t inv = (uint16_t)(~(uint32_t)valid & 0xFFFFu);
+    if (__builtin_expect(inv != 0, 0)) {
+      // set invalid bits (rel .. rel+15 straddles at most 2 words)
+      uint64_t w0 = (uint64_t)inv << (rel & 63);
+      ibits[rel >> 6] |= w0;
+      if ((rel & 63) > 48)
+        ibits[(rel >> 6) + 1] |= (uint64_t)inv >> (64 - (rel & 63));
+    }
+    uint16_t is255 =
+        (uint16_t)(_mm_cmpeq_epi8_mask(bytes, v255) & (uint32_t)valid);
+    while (__builtin_expect(is255 != 0, 0)) {
+      int l = __builtin_ctz(is255);
+      is255 &= (uint16_t)(is255 - 1);
+      excpos_v.push_back(p + l);
+    }
+  }
+  for (; p <= endp; ++p) {
+    int32_t r = r_idx[p];
+    uint8_t c = (r >= 0) ? counts[r] : 0;
+    cbuf[p - base] = c;
+    if (r < 0)
+      ibits[(p - base) >> 6] |= 1ull << ((p - base) & 63);
+    else if (c == 255u)
+      excpos_v.push_back(p);
+  }
+
+  // ---- pass B: per-window mask walk
+  const __m512i mc = _mm512_set1_epi8((char)(uint8_t)min_count);
+  for (int64_t w = w_lo; w < w_end; ++w) {
+    int64_t s = w_start[w];
+    int64_t hi = w_hi[w];
+    if (hi >= n_pos) hi = n_pos - 1;
+    int64_t L = hi - s + 1;
+    if (L <= 0) {
+      o_obs[w] = o_var[w] = o_inn[w] = o_lft[w] = o_rgt[w] = o_cnt[w] = 0;
+      continue;
+    }
+    int64_t rs = s - base;
+    // any invalid position in the window? -> scalar walk over cbuf/ibits
+    bool has_invalid = false;
+    for (int64_t q = rs >> 6; q <= (rs + L - 1) >> 6; ++q) {
+      uint64_t word = ibits[q];
+      if (!word) continue;
+      // mask to window bounds for the edge words
+      int64_t wlo_bit = q << 6, whi_bit = wlo_bit + 63;
+      if (wlo_bit < rs) word &= ~0ull << (rs - wlo_bit);
+      if (whi_bit > rs + L - 1)
+        word &= ~0ull >> (whi_bit - (rs + L - 1));
+      if (word) { has_invalid = true; break; }
+    }
+    int64_t obs = 0, var_ = 0, inner = 0, left = 0, right = 0, cnt_sum = 0;
+    if (__builtin_expect(has_invalid, 0)) {
+      int64_t gap = 0;
+      bool seen = false, any = false;
+      for (int64_t q = rs; q < rs + L; ++q) {
+        if (ibits[q >> 6] & (1ull << (q & 63))) continue;
+        any = true;
+        uint32_t c = cbuf[q];
+        if (__builtin_expect(c == 255u, 0))
+          c = exc_value(exc_idx, exc_val, n_exc, r_idx[base + q]);
+        if (c >= min_count) {
+          cnt_sum += c;
+          ++obs;
+          if (gap > 0) {
+            ++var_;
+            if (!seen) left = gap;
+            else {
+              int64_t d = gap - (k - 1);
+              inner += (d > 0) ? d : std::llabs(d + 1);
+            }
+          }
+          seen = true;
+          gap = 0;
+        } else
+          ++gap;
+      }
+      if (any && gap > 0) { ++var_; right = gap; }
+    } else {
+      // fast path: all positions valid
+      __m512i sumv = _mm512_setzero_si512();
+      int64_t run = 0;
+      bool seen = false;
+      for (int64_t off = 0; off < L; off += 64) {
+        int64_t nbits = std::min<int64_t>(64, L - off);
+        __m512i v = _mm512_loadu_si512(cbuf + rs + off);
+        uint64_t m = _mm512_cmpge_epu8_mask(v, mc);
+        if (nbits < 64) m &= (1ull << nbits) - 1;
+        obs += (int64_t)__builtin_popcountll(m);
+        sumv = _mm512_add_epi64(
+            sumv, _mm512_sad_epu8(_mm512_maskz_mov_epi8(m, v), zero));
+        // gap-run walk over this word
+        uint64_t x = m;
+        int64_t cur = 0;
+        while (x) {
+          int t = __builtin_ctzll(x);
+          run += t - cur;
+          if (run > 0) {
+            ++var_;
+            if (!seen) left = run;
+            else {
+              int64_t d = run - (k - 1);
+              inner += (d > 0) ? d : std::llabs(d + 1);
+            }
+          }
+          seen = true;
+          run = 0;
+          uint64_t y = x >> t;
+          uint64_t ny = ~y;
+          int adv = ny ? __builtin_ctzll(ny) : (int)(64 - t);
+          cur = t + adv;
+          if (cur >= 64) { x = 0; cur = 64; }
+          else x &= ~0ull << cur;
+        }
+        if (cur < nbits) run += nbits - cur;
+        else if (cur > nbits) run = 0;  // unreachable; safety
+      }
+      if (run > 0) { ++var_; right = run; }
+      alignas(64) uint64_t sums[8];
+      _mm512_store_si512(sums, sumv);
+      for (int l = 0; l < 8; ++l) cnt_sum += (int64_t)sums[l];
+      // exception fixup: replace the saturated 255 with the exact value
+      if (__builtin_expect(!excpos_v.empty(), 0) && min_count <= 255u) {
+        auto it = std::lower_bound(excpos_v.begin(), excpos_v.end(), s);
+        for (; it != excpos_v.end() && *it <= hi; ++it) {
+          uint32_t exact =
+              exc_value(exc_idx, exc_val, n_exc, r_idx[*it]);
+          cnt_sum += (int64_t)exact - 255;
+        }
+      }
+    }
+    o_obs[w] = obs;
+    o_var[w] = var_;
+    o_inn[w] = inner;
+    o_lft[w] = left;
+    o_rgt[w] = right;
+    o_cnt[w] = cnt_sum;
+  }
+}
+
+static bool cpu_simd_scan() {
+  static int ok = -1;
+  if (ok < 0)
+    ok = (__builtin_cpu_supports("avx512f") &&
+          __builtin_cpu_supports("avx512bw") &&
+          __builtin_cpu_supports("avx512vl"))
+             ? 1
+             : 0;
+  return ok == 1;
+}
+#endif  // __x86_64__
+
 }  // namespace
 
-void kcf_window_scan_u8(const uint8_t* counts, const int32_t* exc_idx,
-                        const uint32_t* exc_val, int64_t n_exc,
-                        const int32_t* r_idx, int64_t n_pos,
+void kcf_window_scan_u8(const uint8_t* counts, int64_t n_counts,
+                        const int32_t* exc_idx, const uint32_t* exc_val,
+                        int64_t n_exc, const int32_t* r_idx, int64_t n_pos,
                         uint32_t min_count, int32_t k,
                         const int32_t* w_start, const int32_t* w_hi,
-                        int64_t n_win, int64_t* out) {
+                        int64_t n_win, int32_t flags, int64_t* out) {
   unsigned hw = std::thread::hardware_concurrency();
   int n_threads = hw > 1 ? (int)std::min<unsigned>(hw, 8) : 1;
+#if defined(__x86_64__)
+  bool simd = cpu_simd_scan() && !(flags & 1) && min_count <= 255u &&
+              n_counts >= 8;
+#else
+  bool simd = false;
+  (void)flags;
+  (void)n_counts;
+#endif
   if (n_threads <= 1 || n_win < 8) {
+#if defined(__x86_64__)
+    if (simd) {
+      if (n_win > 0)
+        window_scan_range_simd(counts, n_counts, exc_idx, exc_val, n_exc,
+                               r_idx, n_pos, min_count, k, w_start, w_hi, 0,
+                               n_win, n_win, out);
+      return;
+    }
+#endif
     window_scan_range(counts, exc_idx, exc_val, n_exc, r_idx, n_pos,
                       min_count, k, w_start, w_hi, 0, n_win, n_win, out);
     return;
@@ -607,6 +849,14 @@ void kcf_window_scan_u8(const uint8_t* counts, const int32_t* exc_idx,
     int64_t lo = t * step;
     int64_t hi = std::min(n_win, lo + step);
     if (lo >= hi) break;
+#if defined(__x86_64__)
+    if (simd) {
+      workers.emplace_back(window_scan_range_simd, counts, n_counts, exc_idx,
+                           exc_val, n_exc, r_idx, n_pos, min_count, k,
+                           w_start, w_hi, lo, hi, n_win, out);
+      continue;
+    }
+#endif
     workers.emplace_back(window_scan_range, counts, exc_idx, exc_val, n_exc,
                          r_idx, n_pos, min_count, k, w_start, w_hi, lo, hi,
                          n_win, out);

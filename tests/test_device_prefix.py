@@ -242,3 +242,57 @@ def test_merge_counts_u8_edge_sizes(rng):
         rebuilt = u8.astype(np.uint32)
         rebuilt[ei] = ev
         np.testing.assert_array_equal(rebuilt, exact)
+
+
+def test_window_scan_u8_simd_vs_scalar(rng):
+    """Differential fuzz of the SIMD window scan against the scalar
+    path (forced via KCFTOOLS_NO_SIMD) on adversarial inputs: invalid
+    (non-ACGT) positions, >=255 exception counts, min_count > 1,
+    sliding/tiling windows, tails at non-multiples of 64."""
+    import os
+
+    from kcftools_tpu.native import window_scan_u8
+
+    for trial in range(8):
+        n_pos = int(rng.integers(200, 20_000))
+        n_ref = int(rng.integers(50, n_pos + 1))
+        r_idx = rng.integers(0, n_ref, n_pos).astype(np.int32)
+        # sprinkle invalid positions (some trials none)
+        if trial % 3:
+            inv = rng.random(n_pos) < rng.choice([0.001, 0.05, 0.3])
+            r_idx[inv] = -1
+        counts = rng.integers(0, 12, n_ref).astype(np.uint32)
+        counts[rng.integers(0, n_ref, 5)] = rng.integers(
+            255, 70_000, 5
+        ).astype(np.uint32)
+        u8 = np.minimum(counts, 255).astype(np.uint8)
+        big = np.flatnonzero(counts >= 255).astype(np.int32)
+        exc_val = counts[big].astype(np.uint32)
+        min_count = int(rng.choice([1, 1, 2, 5]))
+        k = int(rng.choice([5, 31]))
+        # windows: tiling-ish with random lengths, some overlapping
+        w_start, w_hi = [], []
+        p = 0
+        while p < n_pos - 1:
+            ln = int(rng.integers(1, 400))
+            w_start.append(p)
+            w_hi.append(min(p + ln, n_pos - 1))
+            p += max(1, ln - int(rng.integers(0, min(ln, 60))))
+        w_start = np.asarray(w_start, np.int32)
+        w_hi = np.asarray(w_hi, np.int32)
+
+        res_simd = window_scan_u8(
+            u8, big, exc_val, r_idx, min_count, k, w_start, w_hi
+        )
+        os.environ["KCFTOOLS_NO_SIMD"] = "1"
+        try:
+            res_ref = window_scan_u8(
+                u8, big, exc_val, r_idx, min_count, k, w_start, w_hi
+            )
+        finally:
+            del os.environ["KCFTOOLS_NO_SIMD"]
+        for key in res_ref:
+            np.testing.assert_array_equal(
+                res_simd[key], res_ref[key],
+                err_msg=f"trial={trial} field={key}",
+            )
