@@ -174,3 +174,184 @@ class RefKmerIndex:
         except Exception as e:
             Logger.warning(_CLASS, f"Could not cache index at {path}: {e}")
         return obj
+
+
+class FeatureKmerIndex:
+    """Per-feature (gene/transcript) analog of RefKmerIndex for the
+    hybrid engine: the exon-merged spliced sequence of every feature
+    (reference GTF.java:223-248, GetVariants.java:324-348) is
+    concatenated per chromosome with k-1 non-ACGT separator bases - so
+    no k-mer spans a feature boundary - packed once, and indexed
+    against the sorted unique feature k-mer set. Each feature is one
+    window [w_start, w_hi] in k-mer coordinates of the concatenation;
+    the same merge-join + window-scan machinery as fixed windows then
+    scores every feature, for any k the encoders support (k <= 64)."""
+
+    def __init__(self, k, canonical, is_gene, kmers, chrom_plans,
+                 kmers_hi=None, kmers_lo=None):
+        self.k = k
+        self.canonical = canonical
+        self.is_gene = is_gene
+        self.kmers = kmers  # sorted unique (k <= 32)
+        self.kmers_hi = kmers_hi  # wide-k value limbs
+        self.kmers_lo = kmers_lo
+        # name -> dict(r_idx, w_start, w_hi, feats, total, eff) or None
+        self.chrom_plans = chrom_plans
+
+    @property
+    def wide(self):
+        return self.kmers_hi is not None
+
+    @classmethod
+    def build(cls, index, gtf, k, canonical, is_gene):
+        from .prefix_scan import static_window_stats
+
+        wide_k = k > 32
+        if wide_k:
+            from ..native import wide
+            from .encode_wide import (
+                canonicalize_wide,
+                pack_kmers_wide,
+                to_value_limbs,
+            )
+
+        names = index.get_sequence_names()
+        per_chrom = {}
+        parts = []  # narrow: arrays; wide: (hi, lo) tuples
+        n_feats = 0
+        for name in names:
+            feats = []  # (window_id, chrom, start, end)
+            genes = gtf.get_genes(name)
+            if not genes and not is_gene:
+                Logger.warning(
+                    _CLASS,
+                    f"No genes found in GTF file for sequence: {name}",
+                )
+            for gene in genes:
+                if is_gene:
+                    chrom, start, end, _ = gtf.get_loci(gene)
+                    feats.append((gene, chrom, start, end))
+                else:
+                    transcripts = gtf.get_transcripts(gene)
+                    if not transcripts:
+                        Logger.error(
+                            _CLASS,
+                            f"No transcripts found for gene: {gene} in GTF "
+                            f"file for sequence: {name}",
+                        )
+                    for tr in transcripts:
+                        chrom, start, end, _ = gtf.get_loci(tr)
+                        feats.append((tr, chrom, start, end))
+            if not feats:
+                per_chrom[name] = None
+                continue
+            sep_c = np.zeros(k - 1, np.uint8)
+            sep_v = np.zeros(k - 1, bool)
+            codes_parts, valid_parts = [], []
+            offs = np.empty(len(feats), np.int64)
+            lens = np.empty(len(feats), np.int64)
+            cur = 0
+            for i, (wid, _c, _s, _e) in enumerate(feats):
+                cv = gtf.spliced_codes(wid, index, is_gene)
+                if cv is None:
+                    Logger.error(
+                        _CLASS, f"Fasta object is null for window: {wid}"
+                    )
+                c, v = cv
+                offs[i] = cur
+                lens[i] = c.shape[0]
+                codes_parts.extend((c, sep_c))
+                valid_parts.extend((v, sep_v))
+                cur += c.shape[0] + k - 1
+            codes_cat = np.concatenate(codes_parts)
+            valid_cat = np.concatenate(valid_parts)
+
+            if wide_k:
+                A, B, kvalid = pack_kmers_wide(codes_cat, valid_cat, k)
+                if canonical and A.size:
+                    A, B = canonicalize_wide(A, B, k)
+                vhi, vlo = to_value_limbs(A, B, k)
+                keys = (vhi, vlo)
+                if A.size and kvalid.any():
+                    uh, ul, _ = wide.sort_unique(vhi[kvalid], vlo[kvalid])
+                    parts.append((uh, ul))
+            else:
+                kmers, kvalid = pack_kmers(codes_cat, valid_cat, k)
+                if canonical and kmers.size:
+                    kmers = canonicalize(kmers, k)
+                keys = kmers
+                if kmers.size and kvalid.any():
+                    parts.append(np.unique(kmers[kvalid]))
+
+            # sample-independent per-feature stats; features shorter than
+            # k carry zeros (reference: empty k-mer list, eff length 0)
+            total = np.zeros(len(feats), np.int64)
+            eff = np.zeros(len(feats), np.int64)
+            sel = np.flatnonzero(lens >= k)
+            if sel.size:
+                marker = np.where(kvalid, 0, -1).astype(np.int32)
+                t, e = static_window_stats(
+                    marker, valid_cat, k, offs[sel], offs[sel] + lens[sel]
+                )
+                total[sel] = t
+                eff[sel] = e
+            per_chrom[name] = {
+                "keys": keys,
+                "kvalid": kvalid,
+                "valid": valid_cat,
+                "feats": feats,
+                "w_start": offs.astype(np.int32),
+                "w_hi": (offs + lens - k).astype(np.int32),
+                "total": total,
+                "eff": eff,
+            }
+            n_feats += len(feats)
+
+        # global unique key set, then per-chromosome position index
+        if wide_k:
+            from ..native import wide
+
+            if parts:
+                R_hi, R_lo, _ = wide.sort_unique(
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                )
+            else:
+                R_hi = R_lo = np.empty(0, np.uint64)
+            R = None
+        else:
+            R = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, np.uint64)
+            )
+            R_hi = R_lo = None
+        chrom_plans = {}
+        for name, pl in per_chrom.items():
+            if pl is None:
+                chrom_plans[name] = None
+                continue
+            keys = pl.pop("keys")
+            kvalid = pl.pop("kvalid")
+            if wide_k:
+                from ..native import wide
+
+                pl["r_idx"] = wide.searchsorted(
+                    R_hi, R_lo, keys[0], keys[1], kvalid.astype(np.uint8)
+                )
+            else:
+                r_idx = np.full(keys.shape[0], -1, np.int32)
+                if keys.size and kvalid.any():
+                    r_idx[kvalid] = np.searchsorted(
+                        R, keys[kvalid]
+                    ).astype(np.int32)
+                pl["r_idx"] = r_idx
+            chrom_plans[name] = pl
+        n_unique = R_hi.shape[0] if wide_k else R.shape[0]
+        Logger.info(
+            _CLASS,
+            f"Built feature k-mer index: {n_feats} features, {n_unique} "
+            f"unique {k}-mers over {len(names)} sequences",
+        )
+        return cls(k, canonical, is_gene, R, chrom_plans,
+                   kmers_hi=R_hi, kmers_lo=R_lo)

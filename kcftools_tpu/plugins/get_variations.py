@@ -20,7 +20,7 @@ from ..engine.prefix_scan import (
     static_window_stats,
     window_stats,
 )
-from ..engine.refindex import RefKmerIndex
+from ..engine.refindex import FeatureKmerIndex, RefKmerIndex
 from ..engine.windows import (
     batch_subsequences,
     bucket_pad_len,
@@ -165,22 +165,33 @@ def run(args):
     for db_prefix, sample, out_path in zip(kmc_list, samples, outputs):
         kmc = KMCReader(db_prefix)
         k = kmc.kmer_length
-        use_hybrid = args.feature == "window" and args.engine in (
-            "auto", "hybrid", "dprefix",
-        )
+        if args.feature == "window":
+            use_hybrid = args.engine in ("auto", "hybrid", "dprefix")
+        else:
+            # gene/transcript: the hybrid engine scores spliced features
+            # through the same merge-join + scan path (any supported k);
+            # --engine device keeps the on-chip hash pipeline (k <= 32)
+            use_hybrid = args.engine in ("auto", "hybrid")
         if k > 32 and not use_hybrid:
             Logger.error(
                 _CLASS,
-                f"k={k} > 32 requires the hybrid engine (window feature "
-                "mode); gene/transcript and --engine device support k <= 32",
+                f"k={k} > 32 requires the hybrid engine; --engine "
+                "device/dprefix support k <= 32",
             )
         if use_hybrid and (
             refidx is None or refidx.k != k or refidx.canonical != kmc.both_strands
         ):
-            refidx = RefKmerIndex.load_or_build(
-                args.reference, index, k, canonical=kmc.both_strands
-            )
-            plan = _build_window_plan(args, index, refidx, k)
+            if args.feature == "window":
+                refidx = RefKmerIndex.load_or_build(
+                    args.reference, index, k, canonical=kmc.both_strands
+                )
+                plan = _build_window_plan(args, index, refidx, k)
+            else:
+                refidx = FeatureKmerIndex.build(
+                    index, gtf, k, kmc.both_strands,
+                    args.feature == "gene",
+                )
+                plan = None
             dscorer = None
         if use_hybrid and args.engine == "dprefix" and dscorer is None:
             from ..engine.device_prefix import DevicePrefixScorer
@@ -313,6 +324,10 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
                 )
             else:
                 block = _score_fixed_windows(args, index, name, k, scorer, sample)
+        elif use_hybrid:
+            block = _score_feature_windows_hybrid(
+                args, refidx, counts_r, name, k, sample, u8_pack
+            )
         else:
             block = _score_feature_windows(args, index, gtf, name, k, scorer, sample)
         if block is not None and len(block) > 0:
@@ -496,6 +511,48 @@ def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k,
         res = window_stats(st, starts, ends)
     ids = [f"{name}_{s}" for s in starts]
     return _make_block(sample, name, starts, ends, ids, res, k)
+
+
+def _score_feature_windows_hybrid(args, fidx, counts_r, name, k, sample,
+                                  u8_pack):
+    """Hybrid engine for gene/transcript features: each feature is one
+    window over the per-chromosome spliced-feature concatenation built
+    by FeatureKmerIndex; per-sample counts come from the same u8 merge
+    join as fixed windows, scored by the fused native scan. Supports
+    every k the encoders support (k <= 64). Reference semantics:
+    GetVariants.java:324-348 (feature windows), :202-261 (scoring)."""
+    pl = fidx.chrom_plans.get(name)
+    if pl is None:
+        return None
+    r_idx = pl["r_idx"]
+    w_start, w_hi = pl["w_start"], pl["w_hi"]
+    fields = ("observed", "variations", "inner", "left", "right",
+              "count_sum")
+    if u8_pack is not None:
+        u8, exc_idx, exc_val = u8_pack
+        res = window_scan_u8(
+            u8, exc_idx, exc_val, r_idx, args.min_k_count, k, w_start, w_hi
+        )
+    else:
+        # numpy fallback: prefix decomposition over the concatenation;
+        # features shorter than k keep zeros
+        res = {f: np.zeros(len(w_start), np.int64) for f in fields}
+        ok = np.flatnonzero(w_hi >= w_start)
+        if ok.size:
+            st = chromosome_stats_indirect(
+                counts_r, r_idx, pl["valid"], args.min_k_count, k
+            )
+            sub = window_stats(st, w_start[ok], w_hi[ok] + k)
+            for f in fields:
+                res[f][ok] = sub[f]
+    res["total"] = pl["total"]
+    res["eff_length"] = pl["eff"]
+    feats = pl["feats"]
+    ids = [f[0] for f in feats]
+    chroms = [f[1] for f in feats]
+    starts = [f[2] for f in feats]
+    ends = [f[3] for f in feats]
+    return _make_block(sample, chroms, starts, ends, ids, res, k)
 
 
 def _score_feature_windows(args, index, gtf, name, k, scorer, sample):

@@ -164,3 +164,117 @@ def test_compare_ibs(tmp_path, rng):
     assert int(f[6]) == 500 - K + 1
     assert int(f[8]) <= int(f[6])
     assert int(f[9]) <= int(f[8])
+
+
+def test_feature_hybrid_wide_k_and_n_runs(tmp_path, rng):
+    """Gene/transcript via the hybrid engine with k > 32 (wide keys) and
+    N runs inside exons, validated against the pure-Python oracle."""
+    k = 51
+    chrom = random_seq(rng, 4000, n_prob=0.01)
+    fa = str(tmp_path / "ref.fa")
+    write_fasta(fa, [("chr1", chrom)])
+    gtf_path = str(tmp_path / "f.gtf")
+    _write_gtf(
+        gtf_path,
+        [
+            ("chr1", "gene", 101, 1200, "+", 'gene_id "g1";'),
+            ("chr1", "mRNA", 101, 1200, "+",
+             'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "exon", 101, 600, "+",
+             'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "exon", 801, 1200, "+",
+             'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "gene", 2001, 3500, "-", 'gene_id "g2";'),
+            ("chr1", "mRNA", 2001, 3500, "-",
+             'gene_id "g2"; transcript_id "t2";'),
+            ("chr1", "exon", 2001, 3500, "-",
+             'gene_id "g2"; transcript_id "t2";'),
+        ],
+    )
+    sample = mutate(rng, chrom, snp_rate=0.02)
+    db_prefix = str(tmp_path / "db")
+    sfa = str(tmp_path / "s.fa")
+    write_fasta(sfa, [("chr1", sample)])
+    assert cli_main(["count", "-i", sfa, "-o", db_prefix, "-k", str(k)]) == 0
+    from .oracle import canonical
+
+    db = {}
+    for i in range(len(sample) - k + 1):
+        sub = sample[i : i + k].upper()
+        if all(c in "ACGT" for c in sub):
+            key = canonical(sub)
+            db[key] = db.get(key, 0) + 1
+
+    for feature in ("gene", "transcript"):
+        out = str(tmp_path / f"{feature}_wide.kcf")
+        rc = cli_main(
+            ["getVariations", "-r", fa, "-k", db_prefix, "-o", out,
+             "-s", "sw", "-f", feature, "-g", gtf_path]
+        )
+        assert rc == 0
+        block = KCFReader(out).read_all()
+        gtf = GTF(gtf_path)
+        from kcftools_tpu.io.fasta import FastaIndex
+
+        index = FastaIndex(fa)
+        ids = ["g1", "g2"] if feature == "gene" else ["t1", "t2"]
+        assert block.window_id == ids
+        for i, fid in enumerate(ids):
+            spliced = gtf.spliced_sequence(fid, index, feature == "gene")
+            exp = process_window(spliced, k, db)
+            assert block.total_kmers[i] == exp["total"], fid
+            assert block.ob[0, i] == exp["observed"], fid
+            assert block.va[0, i] == exp["variations"], fid
+            assert block.inner[0, i] == exp["inner"], fid
+            assert block.eff_length[i] == exp["eff_length"], fid
+
+
+def test_feature_hybrid_matches_device_engine(tmp_path, rng):
+    """The hybrid feature path and the on-chip hash pipeline must emit
+    byte-identical KCF (modulo CMD/DATE header lines)."""
+    chrom = random_seq(rng, 2500)
+    fa = str(tmp_path / "ref.fa")
+    write_fasta(fa, [("chr1", chrom)])
+    gtf_path = str(tmp_path / "f.gtf")
+    _write_gtf(
+        gtf_path,
+        [
+            ("chr1", "gene", 51, 800, "+", 'gene_id "g1";'),
+            ("chr1", "mRNA", 51, 800, "+",
+             'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "exon", 51, 400, "+",
+             'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "exon", 601, 800, "+",
+             'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "gene", 1001, 2200, "+", 'gene_id "g2";'),
+            ("chr1", "mRNA", 1001, 2200, "+",
+             'gene_id "g2"; transcript_id "t2";'),
+            ("chr1", "exon", 1001, 2200, "+",
+             'gene_id "g2"; transcript_id "t2";'),
+        ],
+    )
+    sample = mutate(rng, chrom, snp_rate=0.015)
+    db_prefix = str(tmp_path / "db")
+    db_from_seqs(db_prefix, [sample], K)
+
+    def strip(path):
+        with open(path) as fh:
+            return [
+                ln for ln in fh
+                if not ln.startswith(("##CMD", "##DATE"))
+            ]
+
+    for feature in ("gene", "transcript"):
+        a = str(tmp_path / f"{feature}_h.kcf")
+        b = str(tmp_path / f"{feature}_d.kcf")
+        assert cli_main(
+            ["getVariations", "-r", fa, "-k", db_prefix, "-o", a,
+             "-s", "sx", "-f", feature, "-g", gtf_path,
+             "--engine", "hybrid"]
+        ) == 0
+        assert cli_main(
+            ["getVariations", "-r", fa, "-k", db_prefix, "-o", b,
+             "-s", "sx", "-f", feature, "-g", gtf_path,
+             "--engine", "device"]
+        ) == 0
+        assert strip(a) == strip(b), feature
