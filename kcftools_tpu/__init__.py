@@ -17,26 +17,10 @@ Layout:
   utils/     logging + Java-compatible text formatting
 """
 
-# 64-bit support: k-mer count sums and score math use float64/int64 on
-# host; device code is told explicitly which dtypes to use. Enabling x64
-# here keeps host<->device dtype handling consistent.
-import os as _os
-
-import jax as _jax
-
-_jax.config.update("jax_enable_x64", True)
-
-# Persistent compilation cache: pipeline shapes are stable across runs
-# and first-compile latency can be large (remote-compile TPU setups).
-_cache_dir = _os.environ.get(
-    "KCFTOOLS_JAX_CACHE", _os.path.expanduser("~/.cache/kcftools_tpu/jax")
-)
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:
-    pass
+# JAX configuration (x64, persistent compile cache) lives in
+# kcftools_tpu.jaxinit and is imported by the device-tier modules on
+# first use - the host tier (io/, native/, stream plugins, the hybrid
+# engine) never pays the JAX startup cost.
 
 __version__ = "0.4.0"
 

@@ -41,6 +41,7 @@ import functools
 import queue
 import threading
 
+from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
 import numpy as np
 
 _POS_BUCKET = 1 << 20

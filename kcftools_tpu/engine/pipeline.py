@@ -23,6 +23,7 @@ same running-max trick on base-level validity runs.
 
 import functools
 
+from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +31,7 @@ import numpy as np
 from ..ops.kmerize import rolling_pack_u32, assemble_kmers, canonical_select
 from ..ops.lookup import table_lookup
 
-PAD_MARGIN = 32  # extra zero codes after the longest window (>= 32; see ops.kmerize)
+from .windows import PAD_MARGIN  # noqa: F401  (re-export; defined host-side)
 
 
 def _exclusive_cummax(x, axis, init):

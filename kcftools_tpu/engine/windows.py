@@ -15,7 +15,9 @@ are bucketed by padded length (powers of two) to bound recompilation.
 
 import numpy as np
 
-from .pipeline import PAD_MARGIN
+# extra zero codes after the longest window (>= 32; see ops.kmerize);
+# lives here so the host tier can import it without pulling in JAX
+PAD_MARGIN = 32
 
 
 def tiling_windows(seq_len: int, window_size: int, k: int):

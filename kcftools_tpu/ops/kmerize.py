@@ -22,6 +22,7 @@ Canonical = lexicographic min, identical to the reference's big-endian
 packed compare (Data/Kmer.java:72-79).
 """
 
+from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
 import jax.numpy as jnp
 
 

@@ -5,6 +5,7 @@ engine/hashtable.py for the layout. The hash functions here must remain
 bit-identical with engine.hashtable.bucket_hashes_np.
 """
 
+from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
 import jax.numpy as jnp
 import numpy as np
 

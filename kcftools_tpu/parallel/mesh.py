@@ -17,6 +17,7 @@ code spans hosts (ICI within a slice, DCN across).
 """
 
 import numpy as np
+from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

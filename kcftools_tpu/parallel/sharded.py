@@ -15,6 +15,7 @@ a replicated table it is pure data parallelism (no collectives at all).
 
 import functools
 
+from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
 import jax
 import jax.numpy as jnp
 import numpy as np

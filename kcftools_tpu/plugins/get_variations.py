@@ -13,8 +13,7 @@ import os
 
 import numpy as np
 
-from ..engine.hashtable import build_table
-from ..engine.pipeline import PAD_MARGIN, WindowScorer, combine_u8
+from ..engine.windows import PAD_MARGIN
 from ..engine.prefix_scan import (
     chromosome_stats_indirect,
     static_window_stats,
@@ -240,6 +239,9 @@ def _build_window_plan(args, index, refidx, k):
 def _make_scorer(args, kmc, k):
     import jax
 
+    from ..engine.hashtable import build_table
+    from ..engine.pipeline import WindowScorer
+
     table = build_table(kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands)
     n_dev = jax.device_count()
     if n_dev > 1:
@@ -398,6 +400,8 @@ def _score_fixed_windows(args, index, name, k, scorer, sample):
         return _score_fixed_windows_batched(
             args, name, k, scorer, sample, codes, valid, starts, ends
         )
+    from ..engine.pipeline import combine_u8
+
     u8 = combine_u8(codes, valid)
 
     C, c_step, Lp, B = _chunk_geometry(args.window, args.step, k)
