@@ -158,8 +158,9 @@ class KMCReader:
             Logger.error(_CLASS, f"Corrupt prefix array in {self.prefix_file}")
 
         if get_lib() is not None:
-            # slab-streamed native decode; bin boundaries are absolute
-            # record indices, so each slab gets shifted boundary views
+            # slab-streamed native decode against the absolute bin
+            # boundaries; the decoder (threaded) maps slab records to
+            # absolute indices via rec_offset
             if self.wide:
                 self.kmers = None
                 self.kmers_hi = np.empty(n, np.uint64)
@@ -167,7 +168,6 @@ class KMCReader:
             else:
                 self.kmers = np.empty(n, np.uint64)
             self.counts = np.empty(n, np.uint32)
-            bounds_i = bounds_all.astype(np.int64)
             with open(self.suffix_file, "rb") as fh:
                 fh.seek(4)
                 done = 0
@@ -178,28 +178,18 @@ class KMCReader:
                         Logger.error(
                             _CLASS, f"Truncated suffix file: {self.suffix_file}"
                         )
-                    # bins overlapping [done, done+m): shift to slab-local
-                    lo_bin = int(np.searchsorted(bounds_i, done, "right")) - 1
-                    hi_bin = int(np.searchsorted(bounds_i, done + m, "left"))
-                    local = np.clip(
-                        bounds_i[lo_bin : hi_bin + 1] - done, 0, m
-                    ).astype(np.uint64)
-                    # prefix = (local_bin + bin_offset) % lut_size restores
-                    # absolute bin identity inside the decoder
                     if self.wide:
                         sh, sl, sc = wide.decode_kmc_records(
-                            raw, m, suf_bytes, self.counter_size, local,
-                            lut_size, self.suffix_length,
-                            bin_offset=lo_bin,
+                            raw, m, suf_bytes, self.counter_size, bounds_all,
+                            lut_size, self.suffix_length, rec_offset=done,
                         )
                         self.kmers_hi[done : done + m] = sh
                         self.kmers_lo[done : done + m] = sl
                         self.counts[done : done + m] = sc
                     else:
                         part = decode_kmc_records(
-                            raw, m, suf_bytes, self.counter_size, local,
-                            lut_size, self.suffix_length,
-                            bin_offset=lo_bin,
+                            raw, m, suf_bytes, self.counter_size, bounds_all,
+                            lut_size, self.suffix_length, rec_offset=done,
                         )
                         self.kmers[done : done + m] = part[0]
                         self.counts[done : done + m] = part[1]

@@ -122,14 +122,18 @@ def get_lib():
         lib.kcf_decode_kmc_records.restype = None
         lib.kcf_decode_kmc_records.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u64p2,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p2, u32p,
-            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, u64p2, u32p,
         ]
         lib.kcf_decode_kmc_records_wide.restype = None
         lib.kcf_decode_kmc_records_wide.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, u64p2,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p2, u64p2, u32p,
-            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+            u64p2, u64p2, u32p,
+        ]
+        lib.kcf_sort_pairs_u64_u32.restype = None
+        lib.kcf_sort_pairs_u64_u32.argtypes = [
+            u64p2, u32p, ctypes.c_int64, u64p2, u32p,
         ]
         lib.kcf_sort_unique_pairs.restype = ctypes.c_int64
         lib.kcf_sort_unique_pairs.argtypes = [
@@ -314,6 +318,27 @@ def window_scan_u8(counts_u8, exc_idx, exc_val, r_idx, min_count, k,
     }
 
 
+def sort_pairs(keys, vals):
+    """Sort (uint64 keys, uint32 values) pairs by key - native threaded
+    LSD radix sort, numpy argsort fallback. Returns new arrays."""
+    lib = get_lib()
+    keys = np.ascontiguousarray(keys, np.uint64)
+    vals = np.ascontiguousarray(vals, np.uint32)
+    if lib is None:
+        order = np.argsort(keys, kind="stable")
+        return keys[order], vals[order]
+    n = keys.shape[0]
+    out_k = np.empty(n, np.uint64)
+    out_v = np.empty(n, np.uint32)
+    lib.kcf_sort_pairs_u64_u32(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _u32p(vals), n,
+        out_k.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _u32p(out_v),
+    )
+    return out_k, out_v
+
+
 def gather_counts(table_u32, idx_i32):
     """out[i] = table[idx[i]] (0 for idx < 0)."""
     lib = get_lib()
@@ -443,9 +468,11 @@ def decode_suffix_records(raw: np.ndarray, n: int, suf_bytes: int,
 
 
 def decode_kmc_records(raw, n, suf_bytes, counter_size, bounds, lut_size,
-                       suffix_len, bin_offset=0):
-    """Full (kmer uint64, count uint32) decode in one native pass, or
-    None when unavailable."""
+                       suffix_len, rec_offset=0):
+    """Full (kmer uint64, count uint32) decode in one native threaded
+    pass, or None when unavailable. bounds are absolute record indices
+    (prefix LUT concatenation + total-count sentinel); rec_offset maps
+    slab record 0 to its absolute index."""
     lib = get_lib()
     if lib is None:
         return None
@@ -459,9 +486,9 @@ def decode_kmc_records(raw, n, suf_bytes, counter_size, bounds, lut_size,
         n, suf_bytes, counter_size,
         bounds.ctypes.data_as(u64p),
         bounds.shape[0] - 1, lut_size, suffix_len,
+        rec_offset,
         kmers.ctypes.data_as(u64p),
         _u32p(counts),
-        bin_offset,
     )
     return kmers, counts
 
@@ -480,7 +507,7 @@ class _Wide:
 
     @staticmethod
     def decode_kmc_records(raw, n, suf_bytes, counter_size, bounds, lut_size,
-                           suffix_len, bin_offset=0):
+                           suffix_len, rec_offset=0):
         lib = get_lib()
         raw = np.ascontiguousarray(raw, np.uint8)
         bounds = np.ascontiguousarray(bounds, np.uint64)
@@ -491,6 +518,7 @@ class _Wide:
             rec = suf_bytes + counter_size
             b = np.asarray(bounds, np.int64)
             bin_of = np.repeat(np.arange(len(b) - 1), np.diff(b))
+            bin_of = bin_of[rec_offset : rec_offset + n]
             for i in range(n):
                 p = raw[i * rec : i * rec + rec]
                 s = 0
@@ -499,7 +527,7 @@ class _Wide:
                 c = 0
                 for j in range(counter_size):
                     c |= int(p[suf_bytes + j]) << (8 * j)
-                v = (((int(bin_of[i]) + bin_offset) % lut_size)
+                v = ((int(bin_of[i]) % lut_size)
                      << (2 * suffix_len)) | s
                 khi[i] = v >> 64
                 klo[i] = v & 0xFFFFFFFFFFFFFFFF
@@ -509,7 +537,8 @@ class _Wide:
             raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             n, suf_bytes, counter_size,
             _u64p_of(bounds), bounds.shape[0] - 1, lut_size, suffix_len,
-            _u64p_of(khi), _u64p_of(klo), _u32p(counts), bin_offset,
+            rec_offset,
+            _u64p_of(khi), _u64p_of(klo), _u32p(counts),
         )
         return khi, klo, counts
 

@@ -992,16 +992,49 @@ void kcf_decode_suffix_records(const uint8_t* raw, int64_t n,
 // kmer = (prefix << 2*suffix_len) | suffix directly
 // (prefix = bin index mod 4^lut, as in the reference's dumpKmerTable,
 // KMC.java:427-450). bounds has n_bins+1 entries (record-index ranges).
-void kcf_decode_kmc_records(const uint8_t* raw, int64_t n, int32_t suf_bytes,
-                            int32_t counter_size, const uint64_t* bounds,
-                            int64_t n_bins, int64_t lut_size,
-                            int32_t suffix_len, uint64_t* kmers,
-                            uint32_t* counts, int64_t bin_offset) {
+// Decode a range of KMC records into full k-mer keys + counts.
+// bounds are ABSOLUTE record indices (prefix LUT concatenation, +1
+// sentinel at n_total); raw is slab-relative, rec_offset maps slab
+// record i to absolute index. lut_size is a power of 4, so the
+// prefix extraction is a mask, not a division.
+static void decode_records_range(const uint8_t* raw, int64_t lo, int64_t hi,
+                                 int64_t n, int32_t suf_bytes,
+                                 int32_t counter_size,
+                                 const uint64_t* bounds, int64_t n_bins,
+                                 uint64_t lut_mask, int32_t suffix_len,
+                                 int64_t rec_offset, uint64_t* kmers,
+                                 uint32_t* counts) {
   int64_t rec = suf_bytes + counter_size;
-  int64_t bin = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    while (bin < n_bins && (uint64_t)i >= bounds[bin + 1]) ++bin;
-    uint64_t prefix = (uint64_t)((bin + bin_offset) % lut_size);
+  int64_t bin =
+      (std::upper_bound(bounds, bounds + n_bins + 1,
+                        (uint64_t)(rec_offset + lo)) -
+       bounds) -
+      1;
+  if (bin < 0) bin = 0;
+  int32_t s_shift = 64 - 8 * suf_bytes;
+  uint32_t c_mask = (counter_size >= 4)
+                        ? 0xFFFFFFFFu
+                        : ((1u << (8 * counter_size)) - 1u);
+  // fast path reads 8 bytes of suffix + 4 of counter; the last record
+  // of the slab is decoded byte-wise to avoid reading past the buffer
+  int64_t fast_hi = std::min(hi, n - 1);
+  for (int64_t i = lo; i < fast_hi; ++i) {
+    while (bin < n_bins && (uint64_t)(rec_offset + i) >= bounds[bin + 1])
+      ++bin;
+    uint64_t prefix = (uint64_t)bin & lut_mask;
+    const uint8_t* p = raw + i * rec;
+    uint64_t s8;
+    std::memcpy(&s8, p, 8);
+    uint64_t s = __builtin_bswap64(s8) >> s_shift;
+    uint32_t c4;
+    std::memcpy(&c4, p + suf_bytes, 4);
+    kmers[i] = (prefix << (2 * suffix_len)) | s;
+    counts[i] = c4 & c_mask;
+  }
+  for (int64_t i = fast_hi; i < hi; ++i) {
+    while (bin < n_bins && (uint64_t)(rec_offset + i) >= bounds[bin + 1])
+      ++bin;
+    uint64_t prefix = (uint64_t)bin & lut_mask;
     const uint8_t* p = raw + i * rec;
     uint64_t s = 0;
     for (int32_t j = 0; j < suf_bytes; ++j) s = (s << 8) | p[j];
@@ -1010,6 +1043,129 @@ void kcf_decode_kmc_records(const uint8_t* raw, int64_t n, int32_t suf_bytes,
       c |= (uint32_t)p[suf_bytes + j] << (8 * j);
     kmers[i] = (prefix << (2 * suffix_len)) | s;
     counts[i] = c;
+  }
+}
+
+void kcf_decode_kmc_records(const uint8_t* raw, int64_t n, int32_t suf_bytes,
+                            int32_t counter_size, const uint64_t* bounds,
+                            int64_t n_bins, int64_t lut_size,
+                            int32_t suffix_len, int64_t rec_offset,
+                            uint64_t* kmers, uint32_t* counts) {
+  uint64_t lut_mask = (uint64_t)lut_size - 1;
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = (hw > 1 && n >= (1 << 20)) ? (int)std::min<unsigned>(hw, 8)
+                                             : 1;
+  if (n_threads <= 1) {
+    decode_records_range(raw, 0, n, n, suf_bytes, counter_size, bounds,
+                         n_bins, lut_mask, suffix_len, rec_offset, kmers,
+                         counts);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t step = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t a = t * step;
+    int64_t b = std::min(n, a + step);
+    if (a >= b) break;
+    workers.emplace_back(decode_records_range, raw, a, b, n, suf_bytes,
+                         counter_size, bounds, n_bins, lut_mask, suffix_len,
+                         rec_offset, kmers, counts);
+  }
+  for (auto& w : workers) w.join();
+}
+
+// Threaded LSD radix sort of (uint64 key, uint32 value) pairs with
+// 16-bit digits. Replaces numpy argsort+take for the per-sample KMC
+// table ordering (~4x faster on 2 cores); passes over all-zero high
+// digits are skipped, so small k sorts in 2-3 passes.
+namespace {
+
+struct RadixScratch {
+  std::vector<uint64_t> k;
+  std::vector<uint32_t> v;
+};
+
+void radix_hist_range(const uint64_t* keys, int64_t lo, int64_t hi,
+                      int shift, uint32_t* hist /* 65536 */) {
+  std::memset(hist, 0, 65536 * sizeof(uint32_t));
+  for (int64_t i = lo; i < hi; ++i)
+    ++hist[(keys[i] >> shift) & 0xFFFF];
+}
+
+void radix_scatter_range(const uint64_t* keys, const uint32_t* vals,
+                         int64_t lo, int64_t hi, int shift, uint32_t* offs,
+                         uint64_t* out_k, uint32_t* out_v) {
+  for (int64_t i = lo; i < hi; ++i) {
+    uint32_t at = offs[(keys[i] >> shift) & 0xFFFF]++;
+    out_k[at] = keys[i];
+    out_v[at] = vals[i];
+  }
+}
+
+}  // namespace
+
+void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
+                            int64_t n, uint64_t* out_k, uint32_t* out_v) {
+  if (n <= 0) return;
+  static thread_local RadixScratch scratch;
+  if ((int64_t)scratch.k.size() < n) {
+    scratch.k.resize(n);
+    scratch.v.resize(n);
+  }
+  uint64_t mx = 0;
+  for (int64_t i = 0; i < n; ++i) mx |= keys[i];
+  int passes = 1;
+  while (passes < 4 && (mx >> (16 * passes)) != 0) ++passes;
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (hw > 1 && n >= (1 << 19)) ? (int)std::min<unsigned>(hw, 8) : 1;
+  int64_t step = (n + T - 1) / T;
+  std::vector<std::vector<uint32_t>> hist(T, std::vector<uint32_t>(65536));
+
+  const uint64_t* src_k = keys;
+  const uint32_t* src_v = vals;
+  // ping-pong: pass 0 into out or scratch such that the LAST pass lands
+  // in out
+  bool into_out = (passes % 2) == 1;
+  for (int p = 0; p < passes; ++p) {
+    int shift = 16 * p;
+    uint64_t* dst_k = into_out ? out_k : scratch.k.data();
+    uint32_t* dst_v = into_out ? out_v : scratch.v.data();
+    if (T == 1) {
+      radix_hist_range(src_k, 0, n, shift, hist[0].data());
+    } else {
+      std::vector<std::thread> ws;
+      for (int t = 0; t < T; ++t) {
+        int64_t a = t * step, b = std::min(n, a + step);
+        ws.emplace_back(radix_hist_range, src_k, a, b, shift,
+                        hist[t].data());
+      }
+      for (auto& w : ws) w.join();
+    }
+    // exclusive prefix over (digit-major, thread-minor)
+    uint32_t run = 0;
+    for (int d = 0; d < 65536; ++d) {
+      for (int t = 0; t < T; ++t) {
+        uint32_t c = hist[t][d];
+        hist[t][d] = run;
+        run += c;
+      }
+    }
+    if (T == 1) {
+      radix_scatter_range(src_k, src_v, 0, n, shift, hist[0].data(), dst_k,
+                          dst_v);
+    } else {
+      std::vector<std::thread> ws;
+      for (int t = 0; t < T; ++t) {
+        int64_t a = t * step, b = std::min(n, a + step);
+        ws.emplace_back(radix_scatter_range, src_k, src_v, a, b, shift,
+                        hist[t].data(), dst_k, dst_v);
+      }
+      for (auto& w : ws) w.join();
+    }
+    src_k = dst_k;
+    src_v = dst_v;
+    into_out = !into_out;
   }
 }
 
@@ -1264,17 +1420,24 @@ static inline u128 mk128(uint64_t hi, uint64_t lo) {
 
 // Wide KMC record decode: kmer = (prefix << 2*suffix_len) | suffix with
 // suffix up to 16 bytes. Limbs out as (hi, lo).
-void kcf_decode_kmc_records_wide(const uint8_t* raw, int64_t n,
-                                 int32_t suf_bytes, int32_t counter_size,
-                                 const uint64_t* bounds, int64_t n_bins,
-                                 int64_t lut_size, int32_t suffix_len,
-                                 uint64_t* khi, uint64_t* klo,
-                                 uint32_t* counts, int64_t bin_offset) {
+static void decode_records_wide_range(const uint8_t* raw, int64_t lo,
+                                      int64_t hi, int32_t suf_bytes,
+                                      int32_t counter_size,
+                                      const uint64_t* bounds, int64_t n_bins,
+                                      uint64_t lut_mask, int32_t suffix_len,
+                                      int64_t rec_offset, uint64_t* khi,
+                                      uint64_t* klo, uint32_t* counts) {
   int64_t rec = suf_bytes + counter_size;
-  int64_t bin = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    while (bin < n_bins && (uint64_t)i >= bounds[bin + 1]) ++bin;
-    u128 prefix = (u128)((bin + bin_offset) % lut_size);
+  int64_t bin =
+      (std::upper_bound(bounds, bounds + n_bins + 1,
+                        (uint64_t)(rec_offset + lo)) -
+       bounds) -
+      1;
+  if (bin < 0) bin = 0;
+  for (int64_t i = lo; i < hi; ++i) {
+    while (bin < n_bins && (uint64_t)(rec_offset + i) >= bounds[bin + 1])
+      ++bin;
+    u128 prefix = (u128)((uint64_t)bin & lut_mask);
     const uint8_t* p = raw + i * rec;
     u128 s = 0;
     for (int32_t j = 0; j < suf_bytes; ++j) s = (s << 8) | p[j];
@@ -1286,6 +1449,35 @@ void kcf_decode_kmc_records_wide(const uint8_t* raw, int64_t n,
     klo[i] = (uint64_t)v;
     counts[i] = c;
   }
+}
+
+void kcf_decode_kmc_records_wide(const uint8_t* raw, int64_t n,
+                                 int32_t suf_bytes, int32_t counter_size,
+                                 const uint64_t* bounds, int64_t n_bins,
+                                 int64_t lut_size, int32_t suffix_len,
+                                 int64_t rec_offset, uint64_t* khi,
+                                 uint64_t* klo, uint32_t* counts) {
+  uint64_t lut_mask = (uint64_t)lut_size - 1;
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = (hw > 1 && n >= (1 << 20)) ? (int)std::min<unsigned>(hw, 8)
+                                             : 1;
+  if (n_threads <= 1) {
+    decode_records_wide_range(raw, 0, n, suf_bytes, counter_size, bounds,
+                              n_bins, lut_mask, suffix_len, rec_offset, khi,
+                              klo, counts);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t step = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t a = t * step;
+    int64_t b = std::min(n, a + step);
+    if (a >= b) break;
+    workers.emplace_back(decode_records_wide_range, raw, a, b, suf_bytes,
+                         counter_size, bounds, n_bins, lut_mask, suffix_len,
+                         rec_offset, khi, klo, counts);
+  }
+  for (auto& w : workers) w.join();
 }
 
 // Sort (hi, lo) pairs ascending and sum counts of duplicates.

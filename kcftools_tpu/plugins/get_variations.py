@@ -31,7 +31,13 @@ from ..io.fasta import FastaIndex
 from ..io.gtf import GTF
 from ..io.kcf import KCFHeader, KCFWriter, WindowBlock
 from ..io.kmc import KMCReader
-from ..native import get_lib, merge_counts, merge_counts_u8, window_scan_u8
+from ..native import (
+    get_lib,
+    merge_counts,
+    merge_counts_u8,
+    sort_pairs,
+    window_scan_u8,
+)
 from ..utils.logger import Logger
 from ._common import clean_sample_name, get_command_line
 
@@ -283,10 +289,8 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
             db_keys = (dbh, dbl)
             dbc = dbc.astype(np.uint32)
         else:
-            order = np.argsort(kmc.kmers, kind="stable")
             ref_keys = refidx.kmers
-            db_keys = kmc.kmers[order]
-            dbc = kmc.counts[order]
+            db_keys, dbc = sort_pairs(kmc.kmers, kmc.counts)
         if dscorer is not None:
             dscorer.merge_and_upload(ref_keys, db_keys, dbc)
         elif get_lib() is not None:
