@@ -10,6 +10,7 @@ sequence (GetVariants.java:168-179).
 """
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -164,19 +165,51 @@ def run(args):
     index = FastaIndex(args.reference)
     gtf = GTF(args.gtf) if args.feature in ("gene", "transcript") else None
 
-    refidx = None
-    plan = None
-    dscorer = None
-    for db_prefix, sample, out_path in zip(kmc_list, samples, outputs):
+    def _ingest(db_prefix):
+        """Per-sample ingest (KMC decode + key sort) - reference-
+        independent, so sample i+1 ingests on a background thread while
+        sample i is scored and written (the IO analog of the
+        reference's thread pool over windows)."""
         kmc = KMCReader(db_prefix)
         k = kmc.kmer_length
         if args.feature == "window":
-            use_hybrid = args.engine in ("auto", "hybrid", "dprefix")
+            uh = args.engine in ("auto", "hybrid", "dprefix")
         else:
             # gene/transcript: the hybrid engine scores spliced features
             # through the same merge-join + scan path (any supported k);
             # --engine device keeps the on-chip hash pipeline (k <= 32)
-            use_hybrid = args.engine in ("auto", "hybrid")
+            uh = args.engine in ("auto", "hybrid")
+        db_sorted = None
+        if uh:
+            if k > 32:
+                from ..native import wide
+
+                dbh, dbl, dbc = wide.sort_unique(
+                    kmc.kmers_hi, kmc.kmers_lo, kmc.counts
+                )
+                db_sorted = ((dbh, dbl), dbc.astype(np.uint32))
+            else:
+                db_sorted = sort_pairs(kmc.kmers, kmc.counts)
+        return kmc, uh, db_sorted
+
+    pool = (
+        ThreadPoolExecutor(max_workers=1) if len(kmc_list) > 1 else None
+    )
+    pending = pool.submit(_ingest, kmc_list[0]) if pool else None
+
+    refidx = None
+    plan = None
+    dscorer = None
+    for i, (db_prefix, sample, out_path) in enumerate(
+        zip(kmc_list, samples, outputs)
+    ):
+        if pool is not None:
+            kmc, use_hybrid, db_sorted = pending.result()
+            if i + 1 < len(kmc_list):
+                pending = pool.submit(_ingest, kmc_list[i + 1])
+        else:
+            kmc, use_hybrid, db_sorted = _ingest(db_prefix)
+        k = kmc.kmer_length
         if k > 32 and not use_hybrid:
             Logger.error(
                 _CLASS,
@@ -209,8 +242,10 @@ def run(args):
                     )
         _run_one_sample(
             args, index, gtf, refidx, kmc, k, sample, out_path, use_hybrid,
-            plan, dscorer,
+            plan, dscorer, db_sorted,
         )
+    if pool is not None:
+        pool.shutdown(wait=False)
     if dscorer is not None:
         dscorer.close()
 
@@ -274,23 +309,25 @@ def _make_scorer(args, kmc, k):
 
 
 def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
-                    use_hybrid, plan=None, dscorer=None):
+                    use_hybrid, plan=None, dscorer=None, db_sorted=None):
     counts_r = None
     u8_pack = None
     if use_hybrid:
         scorer = None
-        if k > 32:
-            from ..native import wide
+        if db_sorted is None:
+            if k > 32:
+                from ..native import wide
 
-            dbh, dbl, dbc = wide.sort_unique(
-                kmc.kmers_hi, kmc.kmers_lo, kmc.counts
-            )
-            ref_keys = (refidx.kmers_hi, refidx.kmers_lo)
-            db_keys = (dbh, dbl)
-            dbc = dbc.astype(np.uint32)
-        else:
-            ref_keys = refidx.kmers
-            db_keys, dbc = sort_pairs(kmc.kmers, kmc.counts)
+                dbh, dbl, dbc = wide.sort_unique(
+                    kmc.kmers_hi, kmc.kmers_lo, kmc.counts
+                )
+                db_sorted = ((dbh, dbl), dbc.astype(np.uint32))
+            else:
+                db_sorted = sort_pairs(kmc.kmers, kmc.counts)
+        db_keys, dbc = db_sorted
+        ref_keys = (
+            (refidx.kmers_hi, refidx.kmers_lo) if k > 32 else refidx.kmers
+        )
         if dscorer is not None:
             dscorer.merge_and_upload(ref_keys, db_keys, dbc)
         elif get_lib() is not None:
