@@ -1522,7 +1522,111 @@ void kcf_merge_counts_wide(const uint64_t* rhi, const uint64_t* rlo,
   }
 }
 
-// Wide-key variant of kcf_merge_counts_u8 (covers ref[lo:hi)).
+static int64_t wide_lower_bound(const uint64_t* dhi, const uint64_t* dlo,
+                                int64_t n_db, u128 key) {
+  int64_t a = 0, b = n_db;
+  while (a < b) {
+    int64_t mid = (a + b) >> 1;
+    if (mk128(dhi[mid], dlo[mid]) < key)
+      a = mid + 1;
+    else
+      b = mid;
+  }
+  return a;
+}
+
+// Scalar zipper over a ref range with u8-saturated counts (wide keys).
+static void merge_range_u8_wide(const uint64_t* rhi, const uint64_t* rlo,
+                                int64_t lo, int64_t hi, const uint64_t* dhi,
+                                const uint64_t* dlo, const uint8_t* db_cnt8,
+                                int64_t n_db, uint8_t* out_u8) {
+  if (lo >= hi) return;
+  int64_t j = wide_lower_bound(dhi, dlo, n_db, mk128(rhi[lo], rlo[lo]));
+  int64_t i = lo;
+  while (i < hi && j < n_db) {
+    u128 r = mk128(rhi[i], rlo[i]);
+    u128 d = mk128(dhi[j], dlo[j]);
+    out_u8[i - lo] = (d == r) ? db_cnt8[j] : 0;
+    i += (d >= r);
+    j += (d <= r);
+  }
+  for (; i < hi; ++i) out_u8[i - lo] = 0;
+}
+
+#if defined(__x86_64__)
+// Two-limb variant of the AVX-512 sorted-set intersection: equality is
+// the AND of per-limb VPCMPEQ masks; block advance compares the 128-bit
+// maxima scalar (see merge_range_u8_simd for the scheme).
+__attribute__((target("avx512f,avx512bw,avx512vbmi,avx512vl")))
+static void merge_range_u8_simd_wide(const uint64_t* rhi, const uint64_t* rlo,
+                                     int64_t lo, int64_t hi,
+                                     const uint64_t* dhi, const uint64_t* dlo,
+                                     const uint8_t* db_cnt8, int64_t n_db,
+                                     uint8_t* out_u8) {
+  int64_t i = lo;
+  int64_t j = 0;
+  if (i < hi)
+    j = wide_lower_bound(dhi, dlo, n_db, mk128(rhi[lo], rlo[lo])) & ~7LL;
+  __m512i off[8];
+  for (int r = 0; r < 8; ++r) {
+    alignas(64) int8_t o[64] = {0};
+    for (int l = 0; l < 8; ++l) o[l * 8] = (int8_t)(l * 8 + ((l + r) & 7));
+    off[r] = _mm512_load_si512(o);
+  }
+  const __m512i pack_sel = _mm512_set_epi64(0, 0, 0, 0, 0, 0, 0,
+                                            0x3830282018100800LL);
+  __m512i cnt_acc = _mm512_setzero_si512();
+  while (i + 8 <= hi && j + 8 <= n_db) {
+    __m512i Rh = _mm512_loadu_si512(rhi + i);
+    __m512i Rl = _mm512_loadu_si512(rlo + i);
+    __m512i Dh = _mm512_loadu_si512(dhi + j);
+    __m512i Dl = _mm512_loadu_si512(dlo + j);
+    uint64_t cbytes;
+    std::memcpy(&cbytes, db_cnt8 + j, 8);
+    __m512i C = _mm512_set1_epi64((long long)cbytes);
+    __mmask8 m[8];
+    __m512i sel[8];
+    m[0] = _mm512_cmpeq_epu64_mask(Rh, Dh) &
+           _mm512_cmpeq_epu64_mask(Rl, Dl);
+    sel[0] = _mm512_maskz_mov_epi64(m[0], off[0]);
+    for (int r = 1; r < 8; ++r) {
+      __m512i Dhr = _mm512_alignr_epi64(Dh, Dh, r);
+      __m512i Dlr = _mm512_alignr_epi64(Dl, Dl, r);
+      m[r] = _mm512_cmpeq_epu64_mask(Rh, Dhr) &
+             _mm512_cmpeq_epu64_mask(Rl, Dlr);
+      sel[r] = _mm512_maskz_mov_epi64(m[r], off[r]);
+    }
+    __m512i s01 = _mm512_or_si512(sel[0], sel[1]);
+    __m512i s23 = _mm512_or_si512(sel[2], sel[3]);
+    __m512i s45 = _mm512_or_si512(sel[4], sel[5]);
+    __m512i s67 = _mm512_or_si512(sel[6], sel[7]);
+    __m512i idx = _mm512_or_si512(_mm512_or_si512(s01, s23),
+                                  _mm512_or_si512(s45, s67));
+    __mmask8 found = (__mmask8)(m[0] | m[1] | m[2] | m[3] | m[4] | m[5] |
+                                m[6] | m[7]);
+    cnt_acc = _mm512_mask_mov_epi64(
+        cnt_acc, found, _mm512_permutexvar_epi8(idx, C));
+    u128 rmax = mk128(rhi[i + 7], rlo[i + 7]);
+    u128 dmax = mk128(dhi[j + 7], dlo[j + 7]);
+    __m512i packed = _mm512_permutexvar_epi8(pack_sel, cnt_acc);
+    uint64_t bytes =
+        (uint64_t)_mm_cvtsi128_si64(_mm512_castsi512_si128(packed));
+    std::memcpy(out_u8 + (i - lo), &bytes, 8);
+    int adv_r = rmax <= dmax;
+    int adv_d = dmax <= rmax;
+    cnt_acc = _mm512_maskz_mov_epi64((__mmask8)(adv_r ? 0 : 0xFF), cnt_acc);
+    i += (int64_t)adv_r * 8;
+    j += (int64_t)adv_d * 8;
+  }
+  if (i < hi)
+    merge_range_u8_wide(rhi, rlo, i, hi, dhi, dlo, db_cnt8, n_db,
+                        out_u8 + (i - lo));
+}
+#endif  // __x86_64__
+
+// Wide-key variant of kcf_merge_counts_u8 (covers ref[lo:hi)): saturate
+// counts once, run the (SIMD where available) intersection across
+// threads, then translate db-side >=255 exceptions to ref indices.
 int64_t kcf_merge_counts_u8_wide(const uint64_t* rhi, const uint64_t* rlo,
                                  int64_t lo, int64_t hi, const uint64_t* dhi,
                                  const uint64_t* dlo,
@@ -1530,36 +1634,71 @@ int64_t kcf_merge_counts_u8_wide(const uint64_t* rhi, const uint64_t* rlo,
                                  uint8_t* out_u8, int32_t* exc_idx,
                                  uint32_t* exc_val, int64_t cap_exc) {
   if (lo >= hi) return 0;
-  int64_t j = 0;
-  {
-    u128 key = mk128(rhi[lo], rlo[lo]);
-    int64_t a = 0, b = n_db;
-    while (a < b) {
-      int64_t mid = (a + b) >> 1;
-      if (mk128(dhi[mid], dlo[mid]) < key)
-        a = mid + 1;
-      else
-        b = mid;
+  int64_t n = hi - lo;
+  static thread_local std::vector<uint8_t> cnt8;
+  static thread_local std::vector<int64_t> db_exc;
+  if ((int64_t)cnt8.size() < n_db) cnt8.resize(n_db);
+  if ((int64_t)db_exc.size() < cap_exc) db_exc.resize(cap_exc);
+  int64_t n_db_exc = -1;
+#if defined(__x86_64__)
+  if (cpu_simd_merge())
+    n_db_exc =
+        saturate_counts(db_counts, n_db, cnt8.data(), db_exc.data(), cap_exc);
+#endif
+  if (n_db_exc < 0) {
+    n_db_exc = 0;
+    for (int64_t e = 0; e < n_db; ++e) {
+      uint32_t c = db_counts[e];
+      cnt8[e] = (uint8_t)(c < 255u ? c : 255u);
+      if (c >= 255u) {
+        if (n_db_exc >= cap_exc) return -1;
+        db_exc[n_db_exc++] = e;
+      }
     }
-    j = a;
   }
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads =
+      (hw > 1 && n >= (1 << 19)) ? (int)std::min<unsigned>(hw, 8) : 1;
+  // bind the count pointer by value: cnt8 is thread_local, so naming it
+  // inside a worker thread would resolve to that thread's own (empty)
+  // instance
+  const uint8_t* cnt8_p = cnt8.data();
+  auto run_range = [=](int64_t a, int64_t b, uint8_t* out) {
+#if defined(__x86_64__)
+    if (cpu_simd_merge()) {
+      merge_range_u8_simd_wide(rhi, rlo, a, b, dhi, dlo, cnt8_p, n_db, out);
+      return;
+    }
+#endif
+    merge_range_u8_wide(rhi, rlo, a, b, dhi, dlo, cnt8_p, n_db, out);
+  };
+  if (n_threads <= 1) {
+    run_range(lo, hi, out_u8);
+  } else {
+    int64_t step = (n + n_threads - 1) / n_threads;
+    std::vector<std::thread> workers;
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t a = lo + t * step;
+      int64_t b = std::min(hi, a + step);
+      if (a >= b) break;
+      workers.emplace_back(run_range, a, b, out_u8 + (a - lo));
+    }
+    for (auto& w : workers) w.join();
+  }
+
   int64_t n_exc = 0;
-  int64_t i = lo;
-  while (i < hi && j < n_db) {
-    u128 r = mk128(rhi[i], rlo[i]);
-    u128 d = mk128(dhi[j], dlo[j]);
-    uint32_t c = (d == r) ? db_counts[j] : 0;
-    out_u8[i - lo] = (uint8_t)(c < 255u ? c : 255u);
-    if (__builtin_expect(c >= 255u, 0)) {
+  for (int64_t e = 0; e < n_db_exc; ++e) {
+    int64_t de = db_exc[e];
+    u128 key = mk128(dhi[de], dlo[de]);
+    int64_t at = lo + wide_lower_bound(rhi + lo, rlo + lo, n, key);
+    if (at < hi && mk128(rhi[at], rlo[at]) == key) {
       if (n_exc >= cap_exc) return -1;
-      exc_idx[n_exc] = (int32_t)i;
-      exc_val[n_exc] = c;
+      exc_idx[n_exc] = (int32_t)at;
+      exc_val[n_exc] = db_counts[de];
       ++n_exc;
     }
-    i += (d >= r);
-    j += (d <= r);
   }
-  for (; i < hi; ++i) out_u8[i - lo] = 0;
   return n_exc;
 }
 

@@ -149,3 +149,37 @@ def test_get_variations_wide_vs_oracle(tmp_path, rng):
             break
         last_end = end
     assert i == len(block)
+
+
+def test_merge_counts_u8_wide_threaded(rng):
+    """Wide-key SIMD/threaded merge against the exact wide merge on a
+    size that crosses the thread threshold, with >=255 counts."""
+    from kcftools_tpu.native import merge_counts_u8
+
+    n = 700_000
+    hi = rng.integers(0, 1 << 40, n).astype(np.uint64)
+    lo = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    rh, rl, _ = wide.sort_unique(hi, lo)
+    keep = rng.random(rh.shape[0]) > 0.25
+    nh = rng.integers(0, 1 << 40, n // 4).astype(np.uint64)
+    nl = rng.integers(0, 1 << 64, n // 4, dtype=np.uint64)
+    dh, dl, _ = wide.sort_unique(
+        np.concatenate([rh[keep], nh]), np.concatenate([rl[keep], nl])
+    )
+    dc = rng.integers(1, 50, dh.shape[0]).astype(np.uint32)
+    big = rng.integers(0, dh.shape[0], 300)
+    dc[big] = rng.integers(255, 100_000, 300).astype(np.uint32)
+
+    exact = wide.merge_counts(rh, rl, dh, dl, dc)
+    u8, ei, ev = merge_counts_u8((rh, rl), (dh, dl), dc)
+    rebuilt = u8.astype(np.uint32)
+    rebuilt[ei] = ev
+    np.testing.assert_array_equal(rebuilt, exact)
+    assert (np.diff(ei) > 0).all()
+    # sliced calls agree
+    mid = rh.shape[0] // 3
+    u8a, eia, eva = merge_counts_u8((rh, rl), (dh, dl), dc, 0, mid)
+    u8b, eib, evb = merge_counts_u8((rh, rl), (dh, dl), dc, mid, rh.shape[0])
+    np.testing.assert_array_equal(np.concatenate([u8a, u8b]), u8)
+    np.testing.assert_array_equal(np.concatenate([eia, eib]), ei)
+    np.testing.assert_array_equal(np.concatenate([eva, evb]), ev)
