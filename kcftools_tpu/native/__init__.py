@@ -7,6 +7,7 @@ vectorized numpy implementations.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -19,12 +20,18 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "kcf_native.cpp")
 _LIB_DIR = os.environ.get("KCFTOOLS_NATIVE_DIR", _DIR)
 _LIB = os.path.join(_LIB_DIR, "libkcfnative.so")
+_HASH = _LIB + ".srchash"
 
 _lib = None
 _tried = False
 
 
-def _compile():
+def _src_hash():
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _compile(src_hash):
     cmd = [
         "g++",
         "-O3",
@@ -36,6 +43,22 @@ def _compile():
         _SRC,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_HASH, "w") as f:
+        f.write(src_hash)
+
+
+def _stale():
+    """Content-based staleness: the binary is rebuilt whenever the
+    sidecar hash of the source it was built from differs (mtime
+    comparisons misfire on fresh checkouts where all files share one
+    timestamp)."""
+    if not os.path.exists(_LIB):
+        return True
+    try:
+        with open(_HASH) as f:
+            return f.read().strip() != _src_hash()
+    except OSError:
+        return True
 
 
 def get_lib():
@@ -45,11 +68,11 @@ def get_lib():
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_LIB)) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-        ):
-            _compile()
+        if _stale():
+            _compile(_src_hash())
         lib = ctypes.CDLL(_LIB)
+        lib.kcf_set_threads.restype = None
+        lib.kcf_set_threads.argtypes = [ctypes.c_int32]
         u32p = ctypes.POINTER(ctypes.c_uint32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.kcf_build_table.restype = ctypes.c_int
@@ -170,6 +193,8 @@ def get_lib():
             + [i64p] * 7
             + [ctypes.POINTER(ctypes.c_double)]
         )
+        if _thread_budget:
+            lib.kcf_set_threads(_thread_budget)
         _lib = lib
     except Exception as e:  # pragma: no cover - environment dependent
         Logger.warning(_CLASS, f"native library unavailable ({e}); using numpy")
@@ -179,6 +204,20 @@ def get_lib():
 
 def _u32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+_thread_budget = 0
+
+
+def set_threads(n: int):
+    """Set the worker-thread budget for all threaded native kernels
+    (0 = all hardware threads). The -t/--threads analog of the
+    reference's pool sizing (Plugins/GetVariants.java:129)."""
+    global _thread_budget
+    _thread_budget = int(n)
+    lib = get_lib()
+    if lib is not None:
+        lib.kcf_set_threads(_thread_budget)
 
 
 def merge_counts(ref_sorted, db_sorted, db_counts):
@@ -212,9 +251,10 @@ def merge_counts_u8(ref_sorted, db_sorted, db_counts, lo=0, hi=None,
                     out=None, exc_cap=None):
     """Merge join over ref_sorted[lo:hi) emitting uint8-saturated counts
     plus an exception list of (index, exact uint32) pairs for counts
-    >= 255. Returns (u8_counts, exc_idx, exc_val); falls back to the
-    uint32 merge + numpy compression when the native library is missing
-    or the exception capacity is exceeded.
+    >= 255. Returns (u8_counts, exc_idx, exc_val); on exception-capacity
+    overflow the native call is retried once with a slice-sized buffer,
+    then falls back to the uint32 merge + numpy compression (also used
+    when the native library is missing).
 
     ref/db may be plain uint64 arrays (k <= 32) or (hi, lo) uint64 pairs
     for wide k-mers."""
@@ -229,8 +269,6 @@ def merge_counts_u8(ref_sorted, db_sorted, db_counts, lo=0, hi=None,
     if exc_cap is None:
         exc_cap = max(1024, n // 64)
     if lib is not None:
-        exc_idx = np.empty(exc_cap, np.int32)
-        exc_val = np.empty(exc_cap, np.uint32)
         u64p = ctypes.POINTER(ctypes.c_uint64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -240,27 +278,33 @@ def merge_counts_u8(ref_sorted, db_sorted, db_counts, lo=0, hi=None,
             rlo = np.ascontiguousarray(ref_sorted[1], np.uint64)
             dhi = np.ascontiguousarray(db_sorted[0], np.uint64)
             dlo = np.ascontiguousarray(db_sorted[1], np.uint64)
-            n_db = dhi.shape[0]
-            n_exc = lib.kcf_merge_counts_u8_wide(
-                rhi.ctypes.data_as(u64p), rlo.ctypes.data_as(u64p),
-                lo, hi,
-                dhi.ctypes.data_as(u64p), dlo.ctypes.data_as(u64p),
-                _u32p(db_counts_c), n_db,
-                out.ctypes.data_as(u8p),
-                exc_idx.ctypes.data_as(i32p), _u32p(exc_val), exc_cap,
-            )
         else:
             ref_c = np.ascontiguousarray(ref_sorted, np.uint64)
             db_c = np.ascontiguousarray(db_sorted, np.uint64)
-            n_exc = lib.kcf_merge_counts_u8(
-                ref_c.ctypes.data_as(u64p), lo, hi,
-                db_c.ctypes.data_as(u64p), _u32p(db_counts_c),
-                db_c.shape[0],
-                out.ctypes.data_as(u8p),
-                exc_idx.ctypes.data_as(i32p), _u32p(exc_val), exc_cap,
-            )
-        if n_exc >= 0:
-            return out, exc_idx[:n_exc].copy(), exc_val[:n_exc].copy()
+        # matched (ref-translated) exceptions are bounded by the slice
+        # length, so one retry at cap=n always succeeds
+        for cap in (exc_cap, n) if exc_cap < n else (exc_cap,):
+            exc_idx = np.empty(cap, np.int32)
+            exc_val = np.empty(cap, np.uint32)
+            if wide_keys:
+                n_exc = lib.kcf_merge_counts_u8_wide(
+                    rhi.ctypes.data_as(u64p), rlo.ctypes.data_as(u64p),
+                    lo, hi,
+                    dhi.ctypes.data_as(u64p), dlo.ctypes.data_as(u64p),
+                    _u32p(db_counts_c), dhi.shape[0],
+                    out.ctypes.data_as(u8p),
+                    exc_idx.ctypes.data_as(i32p), _u32p(exc_val), cap,
+                )
+            else:
+                n_exc = lib.kcf_merge_counts_u8(
+                    ref_c.ctypes.data_as(u64p), lo, hi,
+                    db_c.ctypes.data_as(u64p), _u32p(db_counts_c),
+                    db_c.shape[0],
+                    out.ctypes.data_as(u8p),
+                    exc_idx.ctypes.data_as(i32p), _u32p(exc_val), cap,
+                )
+            if n_exc >= 0:
+                return out, exc_idx[:n_exc].copy(), exc_val[:n_exc].copy()
     # fallback: exact uint32 merge, compressed in numpy
     if wide_keys:
         c32 = wide.merge_counts(

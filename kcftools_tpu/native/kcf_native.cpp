@@ -24,6 +24,24 @@
 
 namespace {
 
+// Global worker-thread budget. 0 = auto (all hardware threads). Set via
+// kcf_set_threads from the CLI's -t/--threads flag (the analog of the
+// reference's pool sizing, Plugins/GetVariants.java:129).
+int g_threads = 0;
+
+// Worker count for a job of size n: the configured budget (or hardware
+// concurrency), but never more than one thread per min_per_thread items.
+inline int pick_threads(int64_t n, int64_t min_per_thread) {
+  int budget = g_threads;
+  if (budget <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    budget = hw > 0 ? (int)hw : 1;
+  }
+  int64_t by_size = min_per_thread > 0 ? n / min_per_thread : budget;
+  if (by_size < 1) by_size = 1;
+  return (int)std::min<int64_t>(budget, by_size);
+}
+
 // Bucket slot count is a build-time parameter now (the device layout
 // moved from (nb, 8) x 3 arrays to one interleaved (nb, 3*S) array with
 // S=4: one 48-byte row gather per probed bucket instead of three 32-byte
@@ -60,6 +78,10 @@ struct XorShift {
 }  // namespace
 
 extern "C" {
+
+// Set the worker-thread budget for every threaded kernel in this
+// library (0 = all hardware threads). Wired to -t/--threads.
+void kcf_set_threads(int32_t n) { g_threads = n; }
 
 // Returns 0 on success, -1 when an eviction walk exceeds its budget
 // (caller should grow the table and retry). slots must be a power of 2.
@@ -159,9 +181,8 @@ static void merge_range(const uint64_t* ref, int64_t lo, int64_t hi,
 void kcf_merge_counts(const uint64_t* ref, int64_t n_ref, const uint64_t* db,
                       const uint32_t* db_counts, int64_t n_db,
                       uint32_t* out_counts) {
-  unsigned hw = std::thread::hardware_concurrency();
-  int n_threads = hw > 1 ? (int)std::min<unsigned>(hw, 8) : 1;
-  if (n_threads <= 1 || n_ref < (1 << 20)) {
+  int n_threads = pick_threads(n_ref, 1 << 18);
+  if (n_threads <= 1) {
     merge_range(ref, 0, n_ref, db, db_counts, n_db, out_counts);
     return;
   }
@@ -279,25 +300,104 @@ static int64_t merge_range_u8_lanes(const uint64_t* ref, int64_t lo,
   return overflow ? -1 : n_exc;
 }
 
+}  // extern "C" (reopened after the template helpers below)
+
+// 128-bit key view shared by the narrow (k <= 32) and wide (33..64)
+// merge kernels; declared here so the SIMD section below can be written
+// once against a key policy.
+typedef unsigned __int128 u128;
+
+static inline u128 mk128(uint64_t hi, uint64_t lo) {
+  return ((u128)hi << 64) | lo;
+}
+
+static int64_t wide_lower_bound(const uint64_t* dhi, const uint64_t* dlo,
+                                int64_t n_db, u128 key) {
+  int64_t a = 0, b = n_db;
+  while (a < b) {
+    int64_t mid = (a + b) >> 1;
+    if (mk128(dhi[mid], dlo[mid]) < key)
+      a = mid + 1;
+    else
+      b = mid;
+  }
+  return a;
+}
+
 #if defined(__x86_64__)
 #include <immintrin.h>
 
+#define KCF_AVX512 \
+  __attribute__((target("avx512f,avx512bw,avx512vbmi,avx512vl")))
+
+// Key policies for the AVX-512 sorted-set intersection: one 64-bit limb
+// (k <= 32) or two limbs (33 <= k <= 64). A rotation's equality test is
+// one VPCMPEQ (narrow) or the AND of two (wide); everything else -
+// selector tables, OR-tree, count packing, block advance - is shared in
+// merge_block_u8_simd. The scalar helpers (at/lower_bound/tail) carry no
+// intrinsics so the exception-translation loops can use them too.
+struct NarrowKeys {
+  const uint64_t* a;
+  struct V { __m512i v; };
+  KCF_AVX512 V load(int64_t i) const { return V{_mm512_loadu_si512(a + i)}; }
+  template <int R>
+  KCF_AVX512 static __mmask8 eq(const V& r, const V& d) {
+    __m512i dr = R ? _mm512_alignr_epi64(d.v, d.v, R & 7) : d.v;
+    return _mm512_cmpeq_epu64_mask(r.v, dr);
+  }
+  u128 at(int64_t i) const { return a[i]; }
+  NarrowKeys tail(int64_t off) const { return NarrowKeys{a + off}; }
+  int64_t lower_bound(int64_t n, u128 key) const {
+    return std::lower_bound(a, a + n, (uint64_t)key) - a;
+  }
+};
+
+struct WideKeys {
+  const uint64_t* h;
+  const uint64_t* l;
+  struct V { __m512i h, l; };
+  KCF_AVX512 V load(int64_t i) const {
+    return V{_mm512_loadu_si512(h + i), _mm512_loadu_si512(l + i)};
+  }
+  template <int R>
+  KCF_AVX512 static __mmask8 eq(const V& r, const V& d) {
+    __m512i dh = R ? _mm512_alignr_epi64(d.h, d.h, R & 7) : d.h;
+    __m512i dl = R ? _mm512_alignr_epi64(d.l, d.l, R & 7) : d.l;
+    return (__mmask8)(_mm512_cmpeq_epu64_mask(r.h, dh) &
+                      _mm512_cmpeq_epu64_mask(r.l, dl));
+  }
+  u128 at(int64_t i) const { return mk128(h[i], l[i]); }
+  WideKeys tail(int64_t off) const { return WideKeys{h + off, l + off}; }
+  int64_t lower_bound(int64_t n, u128 key) const {
+    return wide_lower_bound(h, l, n, key);
+  }
+};
+
+template <class P, int R>
+KCF_AVX512 static inline void eq_rot(const typename P::V& rv,
+                                     const typename P::V& dv, __mmask8* m,
+                                     const __m512i* off, __m512i* sel) {
+  m[R] = P::template eq<R>(rv, dv);
+  sel[R] = _mm512_maskz_mov_epi64(m[R], off[R]);
+}
+
 // AVX-512 sorted-set intersection: 8 ref keys x 8 db keys all-pairs per
-// iteration (8 VALIGNQ rotations + VPCMPEQ), matched count byte selected
-// with one VPERMB through an OR-tree of disjoint per-lane byte indices
-// (both sides are unique so at most one rotation matches a lane). The
-// loop is branchless: stores are unconditional (a later iteration's
-// write wins until the ref block retires) and block advances are
-// arithmetic, so the ~50/50 advance pattern costs no mispredicts.
-// ~4x faster than the scalar zipper on 2 cores. Counts are u8-saturated
-// by the caller; exception (>=255) fixup happens outside.
-__attribute__((target("avx512f,avx512bw,avx512vbmi,avx512vl")))
-static void merge_range_u8_simd(const uint64_t* ref, int64_t lo, int64_t hi,
-                                const uint64_t* db, const uint8_t* db_cnt8,
-                                int64_t n_db, uint8_t* out_u8) {
+// iteration (8 VALIGNQ rotations + VPCMPEQ per limb), matched count byte
+// selected with one VPERMB through an OR-tree of disjoint per-lane byte
+// indices (both sides are unique so at most one rotation matches a
+// lane). The loop is branchless: stores are unconditional (a later
+// iteration's write wins until the ref block retires) and block
+// advances are arithmetic, so the ~50/50 advance pattern costs no
+// mispredicts. ~4x faster than the scalar zipper on 2 cores. Counts are
+// u8-saturated by the caller; exception (>=255) fixup happens outside.
+template <class P>
+KCF_AVX512 static void merge_block_u8_simd(const P ref, int64_t lo,
+                                           int64_t hi, const P db,
+                                           const uint8_t* db_cnt8,
+                                           int64_t n_db, uint8_t* out_u8) {
   int64_t i = lo;
   int64_t j = 0;
-  if (i < hi) j = (std::lower_bound(db, db + n_db, ref[lo]) - db) & ~7LL;
+  if (i < hi) j = db.lower_bound(n_db, ref.at(lo)) & ~7LL;
   // lane l, rotation r selects count byte l*8 + ((l+r)&7) of the
   // broadcast 8-byte count block
   __m512i off[8];
@@ -310,20 +410,21 @@ static void merge_range_u8_simd(const uint64_t* ref, int64_t lo, int64_t hi,
                                             0x3830282018100800LL);
   __m512i cnt_acc = _mm512_setzero_si512();
   while (i + 8 <= hi && j + 8 <= n_db) {
-    __m512i R = _mm512_loadu_si512(ref + i);
-    __m512i D = _mm512_loadu_si512(db + j);
+    typename P::V rv = ref.load(i);
+    typename P::V dv = db.load(j);
     uint64_t cbytes;
     std::memcpy(&cbytes, db_cnt8 + j, 8);
     __m512i C = _mm512_set1_epi64((long long)cbytes);
     __mmask8 m[8];
     __m512i sel[8];
-    m[0] = _mm512_cmpeq_epu64_mask(R, D);
-    sel[0] = _mm512_maskz_mov_epi64(m[0], off[0]);
-    for (int r = 1; r < 8; ++r) {
-      __m512i Dr = _mm512_alignr_epi64(D, D, r);
-      m[r] = _mm512_cmpeq_epu64_mask(R, Dr);
-      sel[r] = _mm512_maskz_mov_epi64(m[r], off[r]);
-    }
+    eq_rot<P, 0>(rv, dv, m, off, sel);
+    eq_rot<P, 1>(rv, dv, m, off, sel);
+    eq_rot<P, 2>(rv, dv, m, off, sel);
+    eq_rot<P, 3>(rv, dv, m, off, sel);
+    eq_rot<P, 4>(rv, dv, m, off, sel);
+    eq_rot<P, 5>(rv, dv, m, off, sel);
+    eq_rot<P, 6>(rv, dv, m, off, sel);
+    eq_rot<P, 7>(rv, dv, m, off, sel);
     __m512i s01 = _mm512_or_si512(sel[0], sel[1]);
     __m512i s23 = _mm512_or_si512(sel[2], sel[3]);
     __m512i s45 = _mm512_or_si512(sel[4], sel[5]);
@@ -334,7 +435,8 @@ static void merge_range_u8_simd(const uint64_t* ref, int64_t lo, int64_t hi,
                                 m[6] | m[7]);
     cnt_acc = _mm512_mask_mov_epi64(
         cnt_acc, found, _mm512_permutexvar_epi8(idx, C));
-    uint64_t rmax = ref[i + 7], dmax = db[j + 7];
+    u128 rmax = ref.at(i + 7);
+    u128 dmax = db.at(j + 7);
     __m512i packed = _mm512_permutexvar_epi8(pack_sel, cnt_acc);
     uint64_t bytes =
         (uint64_t)_mm_cvtsi128_si64(_mm512_castsi512_si128(packed));
@@ -347,9 +449,9 @@ static void merge_range_u8_simd(const uint64_t* ref, int64_t lo, int64_t hi,
   }
   // scalar tail; also re-does any partially processed ref block
   if (i < hi) {
-    int64_t jj = std::lower_bound(db, db + n_db, ref[i]) - db;
+    int64_t jj = db.lower_bound(n_db, ref.at(i));
     while (i < hi && jj < n_db) {
-      uint64_t rr = ref[i], dd = db[jj];
+      u128 rr = ref.at(i), dd = db.at(jj);
       out_u8[i - lo] = (dd == rr) ? db_cnt8[jj] : 0;
       i += (dd >= rr);
       jj += (dd <= rr);
@@ -359,11 +461,15 @@ static void merge_range_u8_simd(const uint64_t* ref, int64_t lo, int64_t hi,
 }
 
 // saturating u32 -> u8 count conversion (VPMOVUSDB), collecting indices
-// of counts >= 255 into exc (returns count, or -1 on overflow)
+// of counts >= 255 into a growable vector. The db-side exception count
+// is a property of the whole database (not of any ref slice), so it is
+// never capped - capping it against the caller's per-slice exception
+// budget made every call on a high-count-rich DB fail over to the
+// scalar path (see ADVICE.md r1, medium).
 __attribute__((target("avx512f,avx512bw,avx512vl")))
 static int64_t saturate_counts(const uint32_t* in, int64_t n, uint8_t* out,
-                               int64_t* exc, int64_t cap_exc) {
-  int64_t n_exc = 0;
+                               std::vector<int64_t>& exc) {
+  exc.clear();
   int64_t i = 0;
   const __m512i lim = _mm512_set1_epi32(255);
   for (; i + 16 <= n; i += 16) {
@@ -373,19 +479,15 @@ static int64_t saturate_counts(const uint32_t* in, int64_t n, uint8_t* out,
     while (big) {
       int l = __builtin_ctz(big);
       big &= big - 1;
-      if (n_exc >= cap_exc) return -1;
-      exc[n_exc++] = i + l;
+      exc.push_back(i + l);
     }
   }
   for (; i < n; ++i) {
     uint32_t c = in[i];
     out[i] = (uint8_t)(c < 255u ? c : 255u);
-    if (c >= 255u) {
-      if (n_exc >= cap_exc) return -1;
-      exc[n_exc++] = i;
-    }
+    if (c >= 255u) exc.push_back(i);
   }
-  return n_exc;
+  return (int64_t)exc.size();
 }
 
 static bool cpu_simd_merge() {
@@ -400,28 +502,50 @@ static bool cpu_simd_merge() {
   return ok == 1;
 }
 
-// SIMD path for kcf_merge_counts_u8: saturate db counts once, run the
-// vector intersection across threads, then translate the (rare) db-side
-// >=255 exceptions into ref-indexed exceptions by binary search.
-static int64_t merge_counts_u8_simd(const uint64_t* ref, int64_t lo,
-                                    int64_t hi, const uint64_t* db,
-                                    const uint32_t* db_counts, int64_t n_db,
-                                    uint8_t* out_u8, int32_t* exc_idx,
-                                    uint32_t* exc_val, int64_t cap_exc) {
+// db-side >=255 exceptions -> ref-indexed exceptions (sorted: db order
+// == key order). Only these matched, ref-translated exceptions consume
+// the caller's cap; -1 = cap exceeded (caller retries with a larger
+// buffer).
+template <class P>
+static int64_t translate_db_exceptions(const P ref, int64_t lo, int64_t hi,
+                                       const std::vector<int64_t>& db_exc,
+                                       const P db, const uint32_t* db_counts,
+                                       int32_t* exc_idx, uint32_t* exc_val,
+                                       int64_t cap_exc) {
+  int64_t n_exc = 0;
+  for (int64_t de : db_exc) {
+    u128 key = db.at(de);
+    int64_t at = lo + ref.tail(lo).lower_bound(hi - lo, key);
+    if (at < hi && ref.at(at) == key) {
+      if (n_exc >= cap_exc) return -1;
+      exc_idx[n_exc] = (int32_t)at;
+      exc_val[n_exc] = db_counts[de];
+      ++n_exc;
+    }
+  }
+  return n_exc;
+}
+
+// SIMD driver shared by the narrow and wide entry points: saturate db
+// counts once (db-side exception list is unbounded), run the vector
+// intersection across threads, then translate the (rare) matched
+// exceptions under the caller's cap.
+template <class P>
+static int64_t merge_counts_u8_simd(const P ref, int64_t lo, int64_t hi,
+                                    const P db, const uint32_t* db_counts,
+                                    int64_t n_db, uint8_t* out_u8,
+                                    int32_t* exc_idx, uint32_t* exc_val,
+                                    int64_t cap_exc) {
   static thread_local std::vector<uint8_t> cnt8;
   static thread_local std::vector<int64_t> db_exc;
   if ((int64_t)cnt8.size() < n_db) cnt8.resize(n_db);
-  if ((int64_t)db_exc.size() < cap_exc) db_exc.resize(cap_exc);
-  int64_t n_db_exc =
-      saturate_counts(db_counts, n_db, cnt8.data(), db_exc.data(), cap_exc);
-  if (n_db_exc < 0) return -1;
+  saturate_counts(db_counts, n_db, cnt8.data(), db_exc);
 
   int64_t n = hi - lo;
-  unsigned hw = std::thread::hardware_concurrency();
-  int n_threads =
-      (hw > 1 && n >= (1 << 19)) ? (int)std::min<unsigned>(hw, 8) : 1;
+  int n_threads = pick_threads(n, 1 << 17);
+  const uint8_t* cnt8_p = cnt8.data();  // thread_local: bind by value
   if (n_threads <= 1) {
-    merge_range_u8_simd(ref, lo, hi, db, cnt8.data(), n_db, out_u8);
+    merge_block_u8_simd(ref, lo, hi, db, cnt8_p, n_db, out_u8);
   } else {
     int64_t step = (n + n_threads - 1) / n_threads;
     std::vector<std::thread> workers;
@@ -429,27 +553,18 @@ static int64_t merge_counts_u8_simd(const uint64_t* ref, int64_t lo,
       int64_t a = lo + t * step;
       int64_t b = std::min(hi, a + step);
       if (a >= b) break;
-      workers.emplace_back(merge_range_u8_simd, ref, a, b, db, cnt8.data(),
-                           n_db, out_u8 + (a - lo));
+      workers.emplace_back([=]() {
+        merge_block_u8_simd(ref, a, b, db, cnt8_p, n_db, out_u8 + (a - lo));
+      });
     }
     for (auto& w : workers) w.join();
   }
-
-  // db exceptions -> ref-indexed exceptions (sorted: db order == key order)
-  int64_t n_exc = 0;
-  for (int64_t e = 0; e < n_db_exc; ++e) {
-    uint64_t key = db[db_exc[e]];
-    const uint64_t* p = std::lower_bound(ref + lo, ref + hi, key);
-    if (p != ref + hi && *p == key) {
-      if (n_exc >= cap_exc) return -1;
-      exc_idx[n_exc] = (int32_t)(p - ref);
-      exc_val[n_exc] = db_counts[db_exc[e]];
-      ++n_exc;
-    }
-  }
-  return n_exc;
+  return translate_db_exceptions(ref, lo, hi, db_exc, db, db_counts, exc_idx,
+                                 exc_val, cap_exc);
 }
 #endif  // __x86_64__
+
+extern "C" {
 
 int64_t kcf_merge_counts_u8(const uint64_t* ref, int64_t lo, int64_t hi,
                             const uint64_t* db, const uint32_t* db_counts,
@@ -458,14 +573,14 @@ int64_t kcf_merge_counts_u8(const uint64_t* ref, int64_t lo, int64_t hi,
   int64_t n = hi - lo;
 #if defined(__x86_64__)
   if (cpu_simd_merge() && n >= (1 << 12) && n_db >= 8)
-    return merge_counts_u8_simd(ref, lo, hi, db, db_counts, n_db, out_u8,
-                                exc_idx, exc_val, cap_exc);
+    return merge_counts_u8_simd(NarrowKeys{ref}, lo, hi, NarrowKeys{db},
+                                db_counts, n_db, out_u8, exc_idx, exc_val,
+                                cap_exc);
 #endif
-  unsigned hw = std::thread::hardware_concurrency();
-  if (hw <= 1 || n < (1 << 19))
+  int n_threads = pick_threads(n, 1 << 17);
+  if (n_threads <= 1)
     return merge_range_u8_lanes(ref, lo, hi, db, db_counts, n_db, out_u8,
                                 exc_idx, exc_val, cap_exc);
-  int n_threads = (int)std::min<unsigned>(hw, 8);
   int64_t step = (n + n_threads - 1) / n_threads;
   std::vector<int64_t> rc(n_threads, 0);
   std::vector<std::vector<int32_t>> t_idx(n_threads);
@@ -819,8 +934,7 @@ void kcf_window_scan_u8(const uint8_t* counts, int64_t n_counts,
                         uint32_t min_count, int32_t k,
                         const int32_t* w_start, const int32_t* w_hi,
                         int64_t n_win, int32_t flags, int64_t* out) {
-  unsigned hw = std::thread::hardware_concurrency();
-  int n_threads = hw > 1 ? (int)std::min<unsigned>(hw, 8) : 1;
+  int n_threads = pick_threads(n_win, 8);
 #if defined(__x86_64__)
   bool simd = cpu_simd_scan() && !(flags & 1) && min_count <= 255u &&
               n_counts >= 8;
@@ -1052,9 +1166,7 @@ void kcf_decode_kmc_records(const uint8_t* raw, int64_t n, int32_t suf_bytes,
                             int32_t suffix_len, int64_t rec_offset,
                             uint64_t* kmers, uint32_t* counts) {
   uint64_t lut_mask = (uint64_t)lut_size - 1;
-  unsigned hw = std::thread::hardware_concurrency();
-  int n_threads = (hw > 1 && n >= (1 << 20)) ? (int)std::min<unsigned>(hw, 8)
-                                             : 1;
+  int n_threads = pick_threads(n, 1 << 18);
   if (n_threads <= 1) {
     decode_records_range(raw, 0, n, n, suf_bytes, counter_size, bounds,
                          n_bins, lut_mask, suffix_len, rec_offset, kmers,
@@ -1117,8 +1229,7 @@ void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
   int passes = 1;
   while (passes < 4 && (mx >> (16 * passes)) != 0) ++passes;
 
-  unsigned hw = std::thread::hardware_concurrency();
-  int T = (hw > 1 && n >= (1 << 19)) ? (int)std::min<unsigned>(hw, 8) : 1;
+  int T = pick_threads(n, 1 << 17);
   int64_t step = (n + T - 1) / T;
   std::vector<std::vector<uint32_t>> hist(T, std::vector<uint32_t>(65536));
 
@@ -1411,12 +1522,7 @@ int64_t kcf_format_rows(
 }
 
 // ---- wide k-mer (33..64 bases) support: 128-bit kmers as (hi, lo) ----
-
-typedef unsigned __int128 u128;
-
-static inline u128 mk128(uint64_t hi, uint64_t lo) {
-  return ((u128)hi << 64) | lo;
-}
+// (u128 / mk128 / wide_lower_bound are declared above the SIMD section)
 
 // Wide KMC record decode: kmer = (prefix << 2*suffix_len) | suffix with
 // suffix up to 16 bytes. Limbs out as (hi, lo).
@@ -1458,9 +1564,7 @@ void kcf_decode_kmc_records_wide(const uint8_t* raw, int64_t n,
                                  int64_t rec_offset, uint64_t* khi,
                                  uint64_t* klo, uint32_t* counts) {
   uint64_t lut_mask = (uint64_t)lut_size - 1;
-  unsigned hw = std::thread::hardware_concurrency();
-  int n_threads = (hw > 1 && n >= (1 << 20)) ? (int)std::min<unsigned>(hw, 8)
-                                             : 1;
+  int n_threads = pick_threads(n, 1 << 18);
   if (n_threads <= 1) {
     decode_records_wide_range(raw, 0, n, suf_bytes, counter_size, bounds,
                               n_bins, lut_mask, suffix_len, rec_offset, khi,
@@ -1522,19 +1626,6 @@ void kcf_merge_counts_wide(const uint64_t* rhi, const uint64_t* rlo,
   }
 }
 
-static int64_t wide_lower_bound(const uint64_t* dhi, const uint64_t* dlo,
-                                int64_t n_db, u128 key) {
-  int64_t a = 0, b = n_db;
-  while (a < b) {
-    int64_t mid = (a + b) >> 1;
-    if (mk128(dhi[mid], dlo[mid]) < key)
-      a = mid + 1;
-    else
-      b = mid;
-  }
-  return a;
-}
-
 // Scalar zipper over a ref range with u8-saturated counts (wide keys).
 static void merge_range_u8_wide(const uint64_t* rhi, const uint64_t* rlo,
                                 int64_t lo, int64_t hi, const uint64_t* dhi,
@@ -1553,80 +1644,11 @@ static void merge_range_u8_wide(const uint64_t* rhi, const uint64_t* rlo,
   for (; i < hi; ++i) out_u8[i - lo] = 0;
 }
 
-#if defined(__x86_64__)
-// Two-limb variant of the AVX-512 sorted-set intersection: equality is
-// the AND of per-limb VPCMPEQ masks; block advance compares the 128-bit
-// maxima scalar (see merge_range_u8_simd for the scheme).
-__attribute__((target("avx512f,avx512bw,avx512vbmi,avx512vl")))
-static void merge_range_u8_simd_wide(const uint64_t* rhi, const uint64_t* rlo,
-                                     int64_t lo, int64_t hi,
-                                     const uint64_t* dhi, const uint64_t* dlo,
-                                     const uint8_t* db_cnt8, int64_t n_db,
-                                     uint8_t* out_u8) {
-  int64_t i = lo;
-  int64_t j = 0;
-  if (i < hi)
-    j = wide_lower_bound(dhi, dlo, n_db, mk128(rhi[lo], rlo[lo])) & ~7LL;
-  __m512i off[8];
-  for (int r = 0; r < 8; ++r) {
-    alignas(64) int8_t o[64] = {0};
-    for (int l = 0; l < 8; ++l) o[l * 8] = (int8_t)(l * 8 + ((l + r) & 7));
-    off[r] = _mm512_load_si512(o);
-  }
-  const __m512i pack_sel = _mm512_set_epi64(0, 0, 0, 0, 0, 0, 0,
-                                            0x3830282018100800LL);
-  __m512i cnt_acc = _mm512_setzero_si512();
-  while (i + 8 <= hi && j + 8 <= n_db) {
-    __m512i Rh = _mm512_loadu_si512(rhi + i);
-    __m512i Rl = _mm512_loadu_si512(rlo + i);
-    __m512i Dh = _mm512_loadu_si512(dhi + j);
-    __m512i Dl = _mm512_loadu_si512(dlo + j);
-    uint64_t cbytes;
-    std::memcpy(&cbytes, db_cnt8 + j, 8);
-    __m512i C = _mm512_set1_epi64((long long)cbytes);
-    __mmask8 m[8];
-    __m512i sel[8];
-    m[0] = _mm512_cmpeq_epu64_mask(Rh, Dh) &
-           _mm512_cmpeq_epu64_mask(Rl, Dl);
-    sel[0] = _mm512_maskz_mov_epi64(m[0], off[0]);
-    for (int r = 1; r < 8; ++r) {
-      __m512i Dhr = _mm512_alignr_epi64(Dh, Dh, r);
-      __m512i Dlr = _mm512_alignr_epi64(Dl, Dl, r);
-      m[r] = _mm512_cmpeq_epu64_mask(Rh, Dhr) &
-             _mm512_cmpeq_epu64_mask(Rl, Dlr);
-      sel[r] = _mm512_maskz_mov_epi64(m[r], off[r]);
-    }
-    __m512i s01 = _mm512_or_si512(sel[0], sel[1]);
-    __m512i s23 = _mm512_or_si512(sel[2], sel[3]);
-    __m512i s45 = _mm512_or_si512(sel[4], sel[5]);
-    __m512i s67 = _mm512_or_si512(sel[6], sel[7]);
-    __m512i idx = _mm512_or_si512(_mm512_or_si512(s01, s23),
-                                  _mm512_or_si512(s45, s67));
-    __mmask8 found = (__mmask8)(m[0] | m[1] | m[2] | m[3] | m[4] | m[5] |
-                                m[6] | m[7]);
-    cnt_acc = _mm512_mask_mov_epi64(
-        cnt_acc, found, _mm512_permutexvar_epi8(idx, C));
-    u128 rmax = mk128(rhi[i + 7], rlo[i + 7]);
-    u128 dmax = mk128(dhi[j + 7], dlo[j + 7]);
-    __m512i packed = _mm512_permutexvar_epi8(pack_sel, cnt_acc);
-    uint64_t bytes =
-        (uint64_t)_mm_cvtsi128_si64(_mm512_castsi512_si128(packed));
-    std::memcpy(out_u8 + (i - lo), &bytes, 8);
-    int adv_r = rmax <= dmax;
-    int adv_d = dmax <= rmax;
-    cnt_acc = _mm512_maskz_mov_epi64((__mmask8)(adv_r ? 0 : 0xFF), cnt_acc);
-    i += (int64_t)adv_r * 8;
-    j += (int64_t)adv_d * 8;
-  }
-  if (i < hi)
-    merge_range_u8_wide(rhi, rlo, i, hi, dhi, dlo, db_cnt8, n_db,
-                        out_u8 + (i - lo));
-}
-#endif  // __x86_64__
-
-// Wide-key variant of kcf_merge_counts_u8 (covers ref[lo:hi)): saturate
-// counts once, run the (SIMD where available) intersection across
-// threads, then translate db-side >=255 exceptions to ref indices.
+// Wide-key variant of kcf_merge_counts_u8 (covers ref[lo:hi)): the SIMD
+// driver above when available (same size gates as the narrow path),
+// otherwise a threaded scalar zipper. The db-side >=255 exception list
+// is unbounded; cap_exc only limits the matched, ref-translated
+// exceptions (-1 = caller should retry with a larger buffer).
 int64_t kcf_merge_counts_u8_wide(const uint64_t* rhi, const uint64_t* rlo,
                                  int64_t lo, int64_t hi, const uint64_t* dhi,
                                  const uint64_t* dlo,
@@ -1635,46 +1657,29 @@ int64_t kcf_merge_counts_u8_wide(const uint64_t* rhi, const uint64_t* rlo,
                                  uint32_t* exc_val, int64_t cap_exc) {
   if (lo >= hi) return 0;
   int64_t n = hi - lo;
+#if defined(__x86_64__)
+  if (cpu_simd_merge() && n >= (1 << 12) && n_db >= 8)
+    return merge_counts_u8_simd(WideKeys{rhi, rlo}, lo, hi,
+                                WideKeys{dhi, dlo}, db_counts, n_db, out_u8,
+                                exc_idx, exc_val, cap_exc);
+#endif
   static thread_local std::vector<uint8_t> cnt8;
   static thread_local std::vector<int64_t> db_exc;
   if ((int64_t)cnt8.size() < n_db) cnt8.resize(n_db);
-  if ((int64_t)db_exc.size() < cap_exc) db_exc.resize(cap_exc);
-  int64_t n_db_exc = -1;
-#if defined(__x86_64__)
-  if (cpu_simd_merge())
-    n_db_exc =
-        saturate_counts(db_counts, n_db, cnt8.data(), db_exc.data(), cap_exc);
-#endif
-  if (n_db_exc < 0) {
-    n_db_exc = 0;
-    for (int64_t e = 0; e < n_db; ++e) {
-      uint32_t c = db_counts[e];
-      cnt8[e] = (uint8_t)(c < 255u ? c : 255u);
-      if (c >= 255u) {
-        if (n_db_exc >= cap_exc) return -1;
-        db_exc[n_db_exc++] = e;
-      }
-    }
+  db_exc.clear();
+  for (int64_t e = 0; e < n_db; ++e) {
+    uint32_t c = db_counts[e];
+    cnt8[e] = (uint8_t)(c < 255u ? c : 255u);
+    if (c >= 255u) db_exc.push_back(e);
   }
 
-  unsigned hw = std::thread::hardware_concurrency();
-  int n_threads =
-      (hw > 1 && n >= (1 << 19)) ? (int)std::min<unsigned>(hw, 8) : 1;
+  int n_threads = pick_threads(n, 1 << 17);
   // bind the count pointer by value: cnt8 is thread_local, so naming it
   // inside a worker thread would resolve to that thread's own (empty)
   // instance
   const uint8_t* cnt8_p = cnt8.data();
-  auto run_range = [=](int64_t a, int64_t b, uint8_t* out) {
-#if defined(__x86_64__)
-    if (cpu_simd_merge()) {
-      merge_range_u8_simd_wide(rhi, rlo, a, b, dhi, dlo, cnt8_p, n_db, out);
-      return;
-    }
-#endif
-    merge_range_u8_wide(rhi, rlo, a, b, dhi, dlo, cnt8_p, n_db, out);
-  };
   if (n_threads <= 1) {
-    run_range(lo, hi, out_u8);
+    merge_range_u8_wide(rhi, rlo, lo, hi, dhi, dlo, cnt8_p, n_db, out_u8);
   } else {
     int64_t step = (n + n_threads - 1) / n_threads;
     std::vector<std::thread> workers;
@@ -1682,14 +1687,16 @@ int64_t kcf_merge_counts_u8_wide(const uint64_t* rhi, const uint64_t* rlo,
       int64_t a = lo + t * step;
       int64_t b = std::min(hi, a + step);
       if (a >= b) break;
-      workers.emplace_back(run_range, a, b, out_u8 + (a - lo));
+      workers.emplace_back([=]() {
+        merge_range_u8_wide(rhi, rlo, a, b, dhi, dlo, cnt8_p, n_db,
+                            out_u8 + (a - lo));
+      });
     }
     for (auto& w : workers) w.join();
   }
 
   int64_t n_exc = 0;
-  for (int64_t e = 0; e < n_db_exc; ++e) {
-    int64_t de = db_exc[e];
+  for (int64_t de : db_exc) {
     u128 key = mk128(dhi[de], dlo[de]);
     int64_t at = lo + wide_lower_bound(rhi + lo, rlo + lo, n, key);
     if (at < hi && mk128(rhi[at], rlo[at]) == key) {

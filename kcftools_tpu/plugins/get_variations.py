@@ -36,6 +36,7 @@ from ..native import (
     get_lib,
     merge_counts,
     merge_counts_u8,
+    set_threads,
     sort_pairs,
     window_scan_u8,
 )
@@ -80,7 +81,10 @@ def add_parser(subparsers):
         required=True,
         help='Feature type ("window" or "gene" or "transcript")',
     )
-    p.add_argument("-t", "--threads", type=int, default=2, help="Number of threads")
+    p.add_argument(
+        "-t", "--threads", type=int, default=2,
+        help="Number of threads for the native host tier [2]",
+    )
     p.add_argument(
         "-m",
         "--memory",
@@ -143,6 +147,9 @@ def run(args):
     index across all samples - the per-sample work is one KMC ingest +
     one merge join + window statistics."""
     _validate(args)
+    # size the native worker pool from -t, like the reference's
+    # per-window thread pool (GetVariants.java:129)
+    set_threads(args.threads)
     kmc_list = args.kmc.split(",")
     samples = [clean_sample_name(s, _CLASS) for s in args.sample.split(",")]
     if len(samples) != len(kmc_list):

@@ -183,3 +183,37 @@ def test_merge_counts_u8_wide_threaded(rng):
     np.testing.assert_array_equal(np.concatenate([u8a, u8b]), u8)
     np.testing.assert_array_equal(np.concatenate([eia, eib]), ei)
     np.testing.assert_array_equal(np.concatenate([eva, evb]), ev)
+
+
+def test_merge_counts_u8_exc_cap_paths(rng):
+    """Exception-capacity handling: a db dominated by >=255 counts must
+    not break the native merge (the db-side saturation list is
+    unbounded; the matched-exception cap retries slice-sized). Covers
+    both narrow and wide keys, and documents that the SIMD kernel only
+    runs on AVX-512 VBMI hosts - elsewhere the same entry points take
+    the scalar path, so the assertion is identical."""
+    from kcftools_tpu.native import merge_counts, merge_counts_u8
+
+    n = 60_000
+    # wide keys: every db count >= 255 -> db-side exceptions == n_db,
+    # far beyond the default cap of max(1024, n//64)
+    hi = rng.integers(0, 1 << 40, n).astype(np.uint64)
+    lo = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    rh, rl, _ = wide.sort_unique(hi, lo)
+    dh, dl, _ = wide.sort_unique(hi[: n // 2], lo[: n // 2])
+    dc = rng.integers(255, 1 << 20, dh.shape[0]).astype(np.uint32)
+    exact = wide.merge_counts(rh, rl, dh, dl, dc)
+    u8, ei, ev = merge_counts_u8((rh, rl), (dh, dl), dc, exc_cap=16)
+    rebuilt = u8.astype(np.uint32)
+    rebuilt[ei] = ev
+    np.testing.assert_array_equal(rebuilt, exact)
+
+    # narrow keys, same saturation-heavy shape
+    rk = np.unique(rng.integers(0, 1 << 62, n).astype(np.uint64))
+    dk = np.unique(rk[rng.random(rk.shape[0]) < 0.5])
+    dcn = rng.integers(255, 1 << 20, dk.shape[0]).astype(np.uint32)
+    exactn = merge_counts(rk, dk, dcn)
+    u8n, ein, evn = merge_counts_u8(rk, dk, dcn, exc_cap=16)
+    rebuiltn = u8n.astype(np.uint32)
+    rebuiltn[ein] = evn
+    np.testing.assert_array_equal(rebuiltn, exactn)
