@@ -1,150 +1,139 @@
-"""Device-resident prefix-decomposition window scorer.
+"""Device-resident positional window scorer.
 
-The hybrid engine (engine/prefix_scan.py) resolves per-position k-mer
-counts and all prefix arrays on the host. On hosts with few cores the
-per-sample cost is dominated by the 5-80 ms of pointer-chasing that the
-per-position gather + scans take - while the TPU does the same work in
-well under a millisecond (measured: 5M-element random gather 0.4 ms,
-cumsum 0.2 ms, cummax 0.1 ms on one v5e chip).
+TPU-shaped split of the getVariations hot loop
+(Plugins/GetVariants.java:202-261): the host owns the two things TPUs
+are bad at - the per-sample sorted merge join (data-dependent, served
+by the AVX-512 native tier) and the random positional gather - while
+the device owns everything scan-shaped: the whole per-window gap-run
+state machine re-expressed as prefix scans plus O(1) boundary gathers.
 
-This engine keeps everything static about the *reference* resident on
-the device - the per-position unique-k-mer index ``r_idx`` (int32) and
-the valid-k-mer prefix counts ``cs_tot`` - and reduces the per-sample
-traffic to one uint8 array of saturated counts per unique reference
-k-mer (native merge join emits it directly; exact values >= 255 ride a
-tiny exception list and are scattered back on device). Per sample and
-chromosome the device then runs the whole positional pipeline:
+Measured tunnel characteristics on the target environment drive the
+design:
 
-  widen u8 -> u32 (+ exception scatter)
-  counts_pos = counts_u32[r_idx]                      (gather)
-  present    = valid & counts_pos >= min_count
-  cs_obs / cs_cnt / cs_var / cs_dist                  (cumsums)
-  prev/next present position                          (cummax / reverse cummin)
-  per-window stats                                    (B-sized boundary gathers)
+  - one dispatch+fetch round trip costs ~29 ms regardless of size
+    => samples are BATCHED: one jitted call scores S samples over the
+       whole genome at once, so the round trip amortizes to 29/S ms
+  - host->device bandwidth collapses beyond ~1 MiB per transfer
+    => the per-sample payload is ONE positional presence bitmap
+       (1 bit per k-mer start; ~0.6 MiB for a 5 Mbp genome) packed by
+       the native kcf_pack_posbits kernel, not per-unique u8 counts
+  - XLA TPU gathers run ~150 M elem/s while cumsum/cummax scans are
+    near-free
+    => no gathers on device beyond B-sized window-boundary reads; the
+       positional gather happens on host at memory speed
+  - int64 is emulated on TPU
+    => all device math is int32/uint32; the one genuinely 64-bit
+       quantity (per-window exact count sums for MeanKmerCount) is
+       folded on host by the same native pass that packs the bits
 
-semantically identical to the reference's per-window gap-run state
-machine (Plugins/GetVariants.java:202-261, distance correction
-GetVariants.java:267-273) and bit-identical to the host engine
-(tests/test_device_prefix.py).
+Per-sample device math is bit-identical to the host engine
+(tests/test_device_prefix.py): for each window [s, hi] over k-mer
+start positions,
 
+  pres       = presence bits (valid k-mer && exact count >= min_count)
+  cs_obs     = cumsum(pres)                    -> observed
+  prev_ord   = cummax of present valid-ordinal -> interior gap sizes
+  dist       = gap-(k-1) with the abs(d+1) clamp
+               (GetVariants.java:267-273)
+  next_ge /  = reverse cummin / cummax of present positions
+  last_le      -> left/right tail distances
+  variations = interior closed gaps + left/right tails, or (total>0)
+               for windows with zero observed k-mers
+
+Chromosomes are concatenated into fixed-shape SLABS (window-aligned
+segments, so no window straddles a slab and per-window stats are exact
+by construction), letting one compiled program cover the whole genome
+and arbitrarily large references stream through bounded device memory.
 Static per-window values (total k-mers, effective length) never depend
-on the sample; they are computed once on host via the host engine's
-arrays and reused.
-
-Shapes are bucketed (positions and uniques to 1 Mi, windows to 1 Ki,
-exceptions to 64 Ki) so chromosomes of different sizes share compiled
-programs. Per-sample uploads are sliced and handed to a background
-uploader thread so host merge time and tunnel transfer time overlap.
+on the sample and stay with the caller.
 """
 
 import functools
+import os
 import queue
 import threading
 
 from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
 import numpy as np
 
-_POS_BUCKET = 1 << 20
-_WIN_BUCKET = 1 << 10
-_EXC_BUCKET = 1 << 16
-_N_SLICES = 8
+_POS_BUCKET = 1 << 20  # slab position padding granularity
+_WIN_BUCKET = 1 << 10  # slab window padding granularity
+_SEG_ALIGN = 64  # segments start on bit-word boundaries
 
 
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _widen_counts(slices, exc_idx, exc_val):
-    """uint8 count slices -> one uint32 array with exceptions applied.
-    Padding exception entries carry idx == total size (mode='drop')."""
-    import jax.numpy as jnp
+def _score_batch(bits, cs_tot, w_start, w_hi, *, k: int):
+    """Score S samples over one slab.
 
-    u8 = jnp.concatenate(slices)
-    u32 = u8.astype(jnp.uint32)
-    return u32.at[exc_idx].set(exc_val, mode="drop")
-
-
-def _score_chrom(counts_u32, r_idx, cs_tot, w_start, w_hi, *, k: int,
-                 min_count: int):
-    """All per-sample positional work for one chromosome.
-
-    counts_u32: (U,) exact per-unique-kmer counts; r_idx: (Np,) int32
-    (-1 invalid); cs_tot: (Np+1,) int32 prefix counts of valid k-mers
-    (static); w_start/w_hi: (Bp,) int32 window first/last k-mer start
-    positions (inclusive). Returns (6, Bp) int64 rows: observed,
-    variations, inner, left, right, count_sum.
+    bits: tuple of S uint8 arrays (slab_pad/8,) - LSB-first positional
+    presence bitmaps; cs_tot: (slab_pad+1,) int32 static prefix counts
+    of valid k-mers; w_start/w_hi: (win_pad,) int32 window first/last
+    k-mer start positions (inclusive, slab coords). Returns
+    (5, S, win_pad) int32 rows: observed, variations, inner, left,
+    right.
     """
     import jax
     import jax.numpy as jnp
 
-    n = r_idx.shape[0]
-    valid = r_idx >= 0
-    cnt = counts_u32[jnp.maximum(r_idx, 0)]
-    pres = valid & (cnt >= jnp.uint32(min_count))
-
-    zero32 = jnp.zeros((1,), jnp.int32)
-    zero64 = jnp.zeros((1,), jnp.int64)
-    cs_obs = jnp.concatenate([zero32, jnp.cumsum(pres.astype(jnp.int32))])
-    cs_cnt = jnp.concatenate(
-        [zero64,
-         jnp.cumsum(jnp.where(pres, cnt, jnp.uint32(0)).astype(jnp.int64))]
-    )
-
-    # ordinal of the k-mer at p among valid k-mers (valid positions only)
-    vidx = cs_tot[1:] - 1
+    n = bits[0].shape[0] * 8
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    vidx = cs_tot[1:] - 1  # valid ordinal at each position (where valid)
     pos = jax.lax.iota(jnp.int32, n)
-
-    # previous present ordinal strictly before p (exclusive cummax)
-    pres_ord = jnp.where(pres, vidx, jnp.int32(-1))
-    shifted = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pres_ord[:-1]])
-    prev_ord = jax.lax.cummax(shifted)
-
-    # first present position >= p / last present position <= p
-    next_ge = jax.lax.cummin(
-        jnp.where(pres, pos, jnp.int32(n)), reverse=True
-    )
-    last_le = jax.lax.cummax(jnp.where(pres, pos, jnp.int32(-1)))
-
-    # per-present interior-gap contributions (GetVariants.java:267-273)
-    gap = vidx - prev_ord - 1
-    closed = pres & (prev_ord >= 0) & (gap > 0)
-    d = gap - (k - 1)
-    dist = jnp.where(d > 0, d, jnp.abs(d + 1))
-    cs_var = jnp.concatenate([zero32, jnp.cumsum(closed.astype(jnp.int32))])
-    cs_dist = jnp.concatenate(
-        [zero64,
-         jnp.cumsum(jnp.where(closed, dist, 0).astype(jnp.int64))]
-    )
-
-    # per-window boundary gathers
     s = w_start
     hi = w_hi
     total = cs_tot[hi + 1] - cs_tot[s]
-    observed = cs_obs[hi + 1] - cs_obs[s]
-    count_sum = cs_cnt[hi + 1] - cs_cnt[s]
-    has = observed > 0
+    zero32 = jnp.zeros((1,), jnp.int32)
 
-    fp = jnp.clip(next_ge[s], 0, n - 1)
-    lp = jnp.clip(last_le[hi], 0, n - 1)
-    left = jnp.where(has, cs_tot[fp] - cs_tot[s], 0)
-    right = jnp.where(has, cs_tot[hi + 1] - cs_tot[lp + 1], total)
-    inner = jnp.where(has, cs_dist[hi + 1] - cs_dist[fp + 1], 0)
-    var_int = jnp.where(has, cs_var[hi + 1] - cs_var[fp + 1], 0)
-    variations = jnp.where(
-        has,
-        var_int + (left > 0) + (right > 0),
-        (total > 0).astype(jnp.int32),
-    )
-    return jnp.stack(
-        [
-            observed.astype(jnp.int64),
-            variations.astype(jnp.int64),
-            inner.astype(jnp.int64),
-            left.astype(jnp.int64),
-            right.astype(jnp.int64),
-            count_sum,
-        ]
-    )
+    def one(b8):
+        pr = ((b8[:, None] >> shifts) & jnp.uint8(1)).reshape(n) != 0
+        pres_ord = jnp.where(pr, vidx, jnp.int32(-1))
+        shifted = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), pres_ord[:-1]]
+        )
+        prev_ord = jax.lax.cummax(shifted)
+        next_ge = jax.lax.cummin(
+            jnp.where(pr, pos, jnp.int32(n)), reverse=True
+        )
+        last_le = jax.lax.cummax(jnp.where(pr, pos, jnp.int32(-1)))
+
+        cs_obs = jnp.concatenate(
+            [zero32, jnp.cumsum(pr.astype(jnp.int32))]
+        )
+        gap = vidx - prev_ord - 1
+        closed = pr & (prev_ord >= 0) & (gap > 0)
+        d = gap - (k - 1)
+        dist = jnp.where(d > 0, d, jnp.abs(d + 1))
+        cs_var = jnp.concatenate(
+            [zero32, jnp.cumsum(closed.astype(jnp.int32))]
+        )
+        # uint32 modular prefix; per-window diffs are exact (< 2^31)
+        cs_dist = jnp.concatenate(
+            [zero32.astype(jnp.uint32),
+             jnp.cumsum(jnp.where(closed, dist, 0).astype(jnp.uint32))]
+        )
+
+        observed = cs_obs[hi + 1] - cs_obs[s]
+        has = observed > 0
+        fp = jnp.clip(next_ge[s], 0, n - 1)
+        lp = jnp.clip(last_le[hi], 0, n - 1)
+        left = jnp.where(has, cs_tot[fp] - cs_tot[s], 0)
+        right = jnp.where(has, cs_tot[hi + 1] - cs_tot[lp + 1], total)
+        inner = jnp.where(
+            has, cs_dist[hi + 1] - cs_dist[fp + 1], jnp.uint32(0)
+        ).astype(jnp.int32)
+        var_int = jnp.where(has, cs_var[hi + 1] - cs_var[fp + 1], 0)
+        variations = jnp.where(
+            has,
+            var_int + (left > 0) + (right > 0),
+            (total > 0).astype(jnp.int32),
+        )
+        return jnp.stack([observed, variations, inner, left, right])
+
+    stacked = jnp.stack(bits)  # (S, slab_pad/8)
+    return jnp.moveaxis(jax.vmap(one)(stacked), 0, 1)  # (5, S, win_pad)
 
 
 class _Uploader:
@@ -190,161 +179,304 @@ class _Uploader:
         self._q.put(None)
 
 
-class DevicePrefixScorer:
-    """Per-reference device state + per-sample scoring.
+class _Layout:
+    """Chromosomes -> window-aligned segments -> fixed-shape slabs."""
 
-    refidx: engine.refindex.RefKmerIndex (narrow or wide); windows are
-    registered per chromosome with add_chrom() once, then each sample is
-    one set_sample_counts() + score_chrom() sweep.
+    def __init__(self, k, slab_pos):
+        self.k = int(k)
+        self.slab_pos = int(slab_pos)
+        self._chroms = []  # (name, r_idx, w_start, w_hi)
+        self.slabs = None
+
+    def add_chrom(self, name, r_idx, starts, ends):
+        w_start = np.ascontiguousarray(starts, np.int32)
+        w_hi = (np.asarray(ends, np.int64) - self.k).astype(np.int32)
+        self._chroms.append(
+            (name, np.ascontiguousarray(r_idx, np.int32), w_start, w_hi)
+        )
+
+    def _segments(self):
+        """Split each chromosome's window list into runs whose position
+        span fits one slab. Window k-mer ranges never straddle a
+        segment, so per-window stats are exact under any split."""
+        segs = []
+        for name, r_idx, w_start, w_hi in self._chroms:
+            n_win = len(w_start)
+            i = 0
+            while i < n_win:
+                base = int(w_start[i])
+                j = i
+                endp = int(w_hi[i])
+                while j + 1 < n_win:
+                    ne = max(endp, int(w_hi[j + 1]))
+                    nb = min(base, int(w_start[j + 1]))
+                    if ne - nb + 1 > self.slab_pos:
+                        break
+                    j += 1
+                    endp = ne
+                    base = nb
+                endp = min(endp, r_idx.shape[0] - 1)
+                if endp < base:
+                    endp = base
+                segs.append(
+                    {
+                        "chrom": name,
+                        "r_idx": r_idx[base : endp + 1],
+                        "w_start": w_start[i : j + 1] - base,
+                        "w_hi": np.minimum(w_hi[i : j + 1], endp) - base,
+                        "c_off": i,
+                    }
+                )
+                i = j + 1
+        return segs
+
+    def finalize(self):
+        if self.slabs is not None:
+            return
+        segs = self._segments()
+        # first-fit in order into slabs of <= slab_pos positions
+        groups = []
+        cur, cur_pos = [], 0
+        for seg in segs:
+            seg_len = _round_up(seg["r_idx"].shape[0], _SEG_ALIGN)
+            if cur and cur_pos + seg_len > self.slab_pos:
+                groups.append(cur)
+                cur, cur_pos = [], 0
+            cur.append(seg)
+            cur_pos += seg_len
+        if cur:
+            groups.append(cur)
+
+        # shared padded shapes so every slab reuses one compiled program
+        pos_pad = _POS_BUCKET
+        win_pad = _WIN_BUCKET
+        for g in groups:
+            p = sum(_round_up(s["r_idx"].shape[0], _SEG_ALIGN) for s in g)
+            w = sum(len(s["w_start"]) for s in g)
+            pos_pad = max(pos_pad, _round_up(p, _POS_BUCKET))
+            win_pad = max(win_pad, _round_up(w, _WIN_BUCKET))
+        self.pos_pad = pos_pad
+        self.win_pad = win_pad
+
+        self.slabs = []
+        for g in groups:
+            r_idx = np.full(pos_pad, -1, np.int32)
+            w_start = np.zeros(win_pad, np.int32)
+            w_hi = np.zeros(win_pad, np.int32)
+            wins = []  # (chrom, chrom_win_off, slab_win_off, count)
+            p_off = 0
+            w_off = 0
+            for seg in g:
+                sl = seg["r_idx"].shape[0]
+                nw = len(seg["w_start"])
+                r_idx[p_off : p_off + sl] = seg["r_idx"]
+                w_start[w_off : w_off + nw] = seg["w_start"] + p_off
+                w_hi[w_off : w_off + nw] = seg["w_hi"] + p_off
+                wins.append((seg["chrom"], seg["c_off"], w_off, nw))
+                p_off += _round_up(sl, _SEG_ALIGN)
+                w_off += nw
+            cs_tot = np.zeros(pos_pad + 1, np.int32)
+            np.cumsum(r_idx >= 0, out=cs_tot[1:])
+            self.slabs.append(
+                {
+                    "r_idx": r_idx,
+                    "cs_tot": cs_tot,
+                    "w_start": w_start,
+                    "w_hi": w_hi,
+                    "n_win": w_off,
+                    "wins": wins,
+                }
+            )
+        self.chrom_n_win = {
+            name: len(ws) for name, _r, ws, _h in self._chroms
+        }
+
+
+_FIELDS = ("observed", "variations", "inner", "left", "right")
+
+
+class DevicePrefixScorer:
+    """Per-reference device state + batched per-sample scoring.
+
+    Single-sample flow (plugin compatibility):
+        add_chrom(...) per chromosome, then per sample
+        merge_and_upload(...) / set_sample_counts(...) followed by
+        score_chrom(name) per chromosome.
+
+    Batched flow (S samples per device dispatch, amortizing the
+    per-execution tunnel round trip):
+        submit_counts(key, u8, exc_idx, exc_val) per sample, then
+        collect(key) -> {chrom: {field: int64 array}}.
     """
 
-    def __init__(self, refidx, k, min_count=1, device=None):
+    def __init__(self, refidx, k, min_count=1, device=None, batch=None):
         import jax
 
         self.k = int(k)
         self.min_count = int(min_count)
         self.device = device or jax.devices()[0]
-        n_u = refidx.n_kmers
-        self._n_uniq = n_u
-        self._u_pad = max(_round_up(n_u, _POS_BUCKET), _POS_BUCKET)
-        assert self._u_pad % _N_SLICES == 0
-        self._slice = self._u_pad // _N_SLICES
-        self._chroms = {}
-        self._counts_dev = None
+        if batch is None:
+            batch = int(os.environ.get("KCFTOOLS_DEVICE_BATCH", "4"))
+        self.batch = max(1, int(batch))
+        slab = int(
+            os.environ.get("KCFTOOLS_DPREFIX_SLAB", str(1 << 26))
+        )
+        self._layout = _Layout(self.k, slab)
         self._uploader = _Uploader(self.device)
-        # inputs are device_put to self.device; jit follows placement
-        self._widen = jax.jit(_widen_counts)
+        self._statics = None  # per-slab device arrays
         self._score_fns = {}
-        self._u8_buf = np.zeros(self._u_pad, np.uint8)
+        self._pending = []  # [(key, [bits upload keys], [count_sums])]
+        self._inflight = []  # [(keys, [slab handles], {key: counts})]
+        self._results = {}  # key -> {chrom: {field: array}}
+        self._seq = 0
+
+    # -- reference-side setup ------------------------------------------------
 
     def add_chrom(self, name, r_idx, starts, ends):
-        """Register one chromosome's static arrays (uploaded once).
+        """Register one chromosome's static arrays.
         starts/ends: half-open window base ranges (end - start >= k)."""
+        self._layout.add_chrom(name, r_idx, starts, ends)
+
+    def _finalize(self):
+        if self._statics is not None:
+            return
         import jax
 
-        n_pos = r_idx.shape[0]
-        np_pad = max(_round_up(n_pos, _POS_BUCKET), _POS_BUCKET)
-        r_pad = np.full(np_pad, -1, np.int32)
-        r_pad[:n_pos] = r_idx
-        cs_tot = np.zeros(np_pad + 1, np.int32)
-        np.cumsum(r_pad >= 0, out=cs_tot[1:])
-
-        B = len(starts)
-        b_pad = max(_round_up(B, _WIN_BUCKET), _WIN_BUCKET)
-        w_start = np.zeros(b_pad, np.int32)
-        w_hi = np.zeros(b_pad, np.int32)
-        w_start[:B] = starts
-        w_hi[:B] = np.asarray(ends) - self.k
-        self._chroms[name] = {
-            "r_idx": jax.device_put(r_pad, self.device),
-            "cs_tot": jax.device_put(cs_tot, self.device),
-            "w_start": jax.device_put(w_start, self.device),
-            "w_hi": jax.device_put(w_hi, self.device),
-            "n_windows": B,
-        }
-
-    def _score_fn(self, np_pad, b_pad):
-        import jax
-
-        key = (np_pad, b_pad)
-        if key not in self._score_fns:
-            self._score_fns[key] = jax.jit(
-                functools.partial(
-                    _score_chrom, k=self.k, min_count=self.min_count
-                )
+        self._layout.finalize()
+        self._statics = []
+        for slab in self._layout.slabs:
+            self._statics.append(
+                {
+                    "cs_tot": jax.device_put(slab["cs_tot"], self.device),
+                    "w_start": jax.device_put(slab["w_start"], self.device),
+                    "w_hi": jax.device_put(slab["w_hi"], self.device),
+                }
             )
-        return self._score_fns[key]
+
+    def _score_fn(self, n_samples):
+        import jax
+
+        if n_samples not in self._score_fns:
+            self._score_fns[n_samples] = jax.jit(
+                functools.partial(_score_batch, k=self.k)
+            )
+        return self._score_fns[n_samples]
 
     # -- per-sample ----------------------------------------------------------
 
     def merge_and_upload(self, ref_keys, db_keys, db_counts):
-        """Sliced native merge join overlapped with slice uploads.
+        """Native merge join + submit as the single pending sample.
         ref_keys/db_keys: uint64 arrays or (hi, lo) tuples (sorted)."""
-        from ..native import merge_counts_u8
-
-        n_u = self._n_uniq
-        exc_parts = []
-        for si in range(_N_SLICES):
-            lo = si * self._slice
-            hi = min((si + 1) * self._slice, n_u)
-            buf = np.empty(self._slice, np.uint8)
-            if lo < n_u:
-                _, eidx, eval_ = merge_counts_u8(
-                    ref_keys, db_keys, db_counts, lo, hi, out=buf[: hi - lo]
-                )
-                if hi - lo < self._slice:
-                    buf[hi - lo :] = 0
-                if eidx.size:
-                    exc_parts.append((eidx, eval_))
-            else:
-                buf[:] = 0
-            self._uploader.put(("slice", si), buf)
-        if exc_parts:
-            exc_idx = np.concatenate([p[0] for p in exc_parts])
-            exc_val = np.concatenate([p[1] for p in exc_parts])
-        else:
-            exc_idx = np.empty(0, np.int32)
-            exc_val = np.empty(0, np.uint32)
-        self.set_sample_slices(
-            [self._uploader.take(("slice", si)) for si in range(_N_SLICES)],
-            exc_idx,
-            exc_val,
-        )
+        self.submit(None, ref_keys, db_keys, db_counts)
 
     def set_sample_counts(self, counts_u8, exc_idx, exc_val):
-        """counts_u8: (n_uniq,) saturated counts (host). Pads + uploads."""
-        import jax
+        self.submit_counts(None, counts_u8, exc_idx, exc_val)
 
-        buf = self._u8_buf
-        buf[: self._n_uniq] = counts_u8
-        buf[self._n_uniq :] = 0
-        slices = [
-            jax.device_put(
-                buf[i * self._slice : (i + 1) * self._slice], self.device
+    def submit(self, key, ref_keys, db_keys, db_counts):
+        from ..native import merge_counts_u8
+
+        u8, ei, ev = merge_counts_u8(ref_keys, db_keys, db_counts)
+        self.submit_counts(key, u8, ei, ev)
+
+    def submit_counts(self, key, counts_u8, exc_idx, exc_val):
+        """Pack positional presence bits + exact window count sums on
+        host (native), start the async upload, and dispatch a batch
+        when full. key=None marks the single-sample flow."""
+        from ..native import pack_posbits
+
+        self._finalize()
+        if key is None:
+            # single-sample flow: a new sample invalidates the old one
+            self._results.pop(None, None)
+        exc_idx = np.ascontiguousarray(exc_idx, np.int32)
+        exc_val = np.ascontiguousarray(exc_val, np.uint32)
+        up_keys = []
+        count_sums = []
+        for si, slab in enumerate(self._layout.slabs):
+            bits, csum = pack_posbits(
+                counts_u8, exc_idx, exc_val, slab["r_idx"],
+                self.min_count, slab["w_start"][: slab["n_win"]],
+                slab["w_hi"][: slab["n_win"]],
+                n_bits_bytes=self._layout.pos_pad // 8,
             )
-            for i in range(_N_SLICES)
-        ]
-        self.set_sample_slices(slices, exc_idx, exc_val)
+            uk = (self._seq, si)
+            self._uploader.put(uk, bits)
+            up_keys.append(uk)
+            count_sums.append(csum)
+        self._seq += 1
+        self._pending.append((key, up_keys, count_sums))
+        if len(self._pending) >= self.batch:
+            self._dispatch()
 
-    def set_sample_slices(self, slices, exc_idx, exc_val):
-        import jax
-
-        e_pad = max(_round_up(max(exc_idx.size, 1), _EXC_BUCKET), _EXC_BUCKET)
-        ei = np.full(e_pad, self._u_pad, np.int32)  # out of range -> dropped
-        ev = np.zeros(e_pad, np.uint32)
-        ei[: exc_idx.size] = exc_idx
-        ev[: exc_val.size] = exc_val
-        self._counts_dev = self._widen(
-            tuple(slices),
-            jax.device_put(ei, self.device),
-            jax.device_put(ev, self.device),
+    def _dispatch(self):
+        if not self._pending:
+            return
+        batch = self._pending
+        self._pending = []
+        S = len(batch)
+        fn = self._score_fn(S)
+        handles = []
+        for si in range(len(self._layout.slabs)):
+            bits = tuple(
+                self._uploader.take(rec[1][si]) for rec in batch
+            )
+            st = self._statics[si]
+            handles.append(
+                fn(bits, st["cs_tot"], st["w_start"], st["w_hi"])
+            )
+        self._inflight.append(
+            (
+                [rec[0] for rec in batch],
+                handles,
+                {rec[0]: rec[2] for rec in batch},
+            )
         )
 
-    def score_chrom_async(self, name):
-        """Dispatch one chromosome; returns a device handle (6, Bp)."""
-        ch = self._chroms[name]
-        fn = self._score_fn(ch["r_idx"].shape[0], ch["w_start"].shape[0])
-        return fn(
-            self._counts_dev, ch["r_idx"], ch["cs_tot"], ch["w_start"],
-            ch["w_hi"],
-        )
+    def _resolve(self, keys, handles, csums):
+        """Fetch one batch's device results and assemble per-chrom
+        dicts (int64, reference semantics) for every sample in it."""
+        slabs = self._layout.slabs
+        arrs = [np.asarray(h) for h in handles]  # (5, S, win_pad) each
+        for j, key in enumerate(keys):
+            out = {
+                name: {f: np.zeros(nw, np.int64) for f in _FIELDS}
+                | {"count_sum": np.zeros(nw, np.int64)}
+                for name, nw in self._layout.chrom_n_win.items()
+            }
+            for si, slab in enumerate(slabs):
+                arr = arrs[si]
+                csum = csums[key][si]
+                for chrom, c_off, s_off, cnt in slab["wins"]:
+                    dst = out[chrom]
+                    for fi, f in enumerate(_FIELDS):
+                        dst[f][c_off : c_off + cnt] = arr[
+                            fi, j, s_off : s_off + cnt
+                        ]
+                    dst["count_sum"][c_off : c_off + cnt] = csum[
+                        s_off : s_off + cnt
+                    ]
+            self._results[key] = out
 
-    def collect(self, name, handle):
-        """Resolve a handle into the engine's standard dict (without the
-        static total/eff_length fields - callers own those)."""
-        B = self._chroms[name]["n_windows"]
-        arr = np.asarray(handle)[:, :B]
-        return {
-            "observed": arr[0],
-            "variations": arr[1],
-            "inner": arr[2],
-            "left": arr[3],
-            "right": arr[4],
-            "count_sum": arr[5],
-        }
+    def collect(self, key=None):
+        """Return {chrom: {field: (n_windows,) int64 array}} for a
+        submitted sample, dispatching/fetching its batch as needed."""
+        if key in self._results:
+            return self._results[key]
+        if any(rec[0] == key for rec in self._pending):
+            self._dispatch()
+        for i, (keys, handles, csums) in enumerate(self._inflight):
+            if key in keys:
+                self._inflight.pop(i)
+                self._resolve(keys, handles, csums)
+                return self._results[key]
+        raise KeyError(f"no submitted sample {key!r}")
 
     def score_chrom(self, name):
-        return self.collect(name, self.score_chrom_async(name))
+        """Single-sample flow: stats for one chromosome."""
+        return self.collect(None)[name]
+
+    def discard(self, key=None):
+        self._results.pop(key, None)
 
     def close(self):
         self._uploader.close()

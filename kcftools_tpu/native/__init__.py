@@ -113,6 +113,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_uint32, ctypes.c_int32, i32p, i32p,
             ctypes.c_int64, ctypes.c_int32, _i64p,
         ]
+        lib.kcf_pack_posbits.restype = None
+        lib.kcf_pack_posbits.argtypes = [
+            u8p, ctypes.c_int64, i32p, u32p, ctypes.c_int64, i32p,
+            ctypes.c_int64, ctypes.c_uint32, i32p, i32p, ctypes.c_int64,
+            u8p, ctypes.c_int64, u8p, _i64p,
+        ]
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.kcf_chrom_stats2.restype = None
         lib.kcf_chrom_stats2.argtypes = [
@@ -360,6 +366,63 @@ def window_scan_u8(counts_u8, exc_idx, exc_val, r_idx, min_count, k,
         "right": out[4],
         "count_sum": out[5],
     }
+
+
+def pack_posbits(counts_u8, exc_idx, exc_val, r_idx, min_count, w_start,
+                 w_hi, out_bits=None, n_bits_bytes=None):
+    """Positional presence-bit pack for the device engine (see
+    kcf_pack_posbits): one host pass gathers per-position counts from
+    the u8 merge-join output, emits an LSB-first presence bitmap over
+    k-mer start positions (present = valid && exact count >= min_count)
+    and exact per-window int64 count sums. Returns (bits, count_sum);
+    bits is zero-padded to ``n_bits_bytes`` (default: positions rounded
+    up to whole bytes). Falls back to vectorized numpy when the native
+    library is unavailable."""
+    r_idx = np.ascontiguousarray(r_idx, np.int32)
+    w_start = np.ascontiguousarray(w_start, np.int32)
+    w_hi = np.ascontiguousarray(w_hi, np.int32)
+    n_pos = r_idx.shape[0]
+    n_win = w_start.shape[0]
+    if n_bits_bytes is None:
+        n_bits_bytes = (n_pos + 7) // 8
+    if out_bits is None:
+        out_bits = np.empty(n_bits_bytes, np.uint8)
+    count_sum = np.empty(n_win, np.int64)
+    lib = get_lib()
+    if lib is not None:
+        counts_u8 = np.ascontiguousarray(counts_u8, np.uint8)
+        exc_idx = np.ascontiguousarray(exc_idx, np.int32)
+        exc_val = np.ascontiguousarray(exc_val, np.uint32)
+        cbuf = _buf("posbits_cbuf", n_pos, np.uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.kcf_pack_posbits(
+            counts_u8.ctypes.data_as(u8p), counts_u8.shape[0],
+            exc_idx.ctypes.data_as(i32p), _u32p(exc_val),
+            exc_idx.shape[0],
+            r_idx.ctypes.data_as(i32p), n_pos,
+            ctypes.c_uint32(min_count),
+            w_start.ctypes.data_as(i32p), w_hi.ctypes.data_as(i32p), n_win,
+            out_bits.ctypes.data_as(u8p), n_bits_bytes,
+            cbuf.ctypes.data_as(u8p),
+            count_sum.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out_bits, count_sum
+    # numpy fallback: widen exceptions, gather, pack
+    wide_c = np.asarray(counts_u8, np.uint32).copy()
+    wide_c[np.asarray(exc_idx, np.int64)] = exc_val
+    cnt = wide_c[np.maximum(r_idx, 0)]
+    pres = (r_idx >= 0) & (cnt >= np.uint32(min_count))
+    packed = np.packbits(pres, bitorder="little")
+    out_bits[: packed.shape[0]] = packed
+    out_bits[packed.shape[0]:] = 0
+    cs = np.zeros(n_pos + 1, np.int64)
+    np.cumsum(np.where(pres, cnt, 0), out=cs[1:])
+    hi_cl = np.minimum(w_hi, n_pos - 1)
+    count_sum[:] = np.where(
+        hi_cl >= w_start, cs[hi_cl + 1] - cs[w_start], 0
+    )
+    return out_bits, count_sum
 
 
 def sort_pairs(keys, vals):

@@ -390,14 +390,78 @@ KCF_AVX512 static inline void eq_rot(const typename P::V& rv,
 // advances are arithmetic, so the ~50/50 advance pattern costs no
 // mispredicts. ~4x faster than the scalar zipper on 2 cores. Counts are
 // u8-saturated by the caller; exception (>=255) fixup happens outside.
+// One zipper's state. The block-advance arithmetic makes every
+// iteration's loads depend on the previous iteration's compare - a
+// ~60-cycle serial chain that leaves the core mostly idle. Running
+// several INDEPENDENT zippers interleaved in one loop (each owning a
+// sub-range of the ref slice) overlaps those chains: measured 3.3x on
+// the 2-core bench host (32.2 -> 9.7 ms single-thread, 5M x 5M keys).
+template <class P>
+struct MergeChain {
+  int64_t i, j, hi;
+  __m512i cnt_acc;
+};
+
+template <class P>
+KCF_AVX512 static inline void merge_step(const P& ref, const P& db,
+                                         const uint8_t* db_cnt8,
+                                         uint8_t* out_u8, int64_t lo,
+                                         const __m512i* off,
+                                         __m512i pack_sel,
+                                         MergeChain<P>& c) {
+  typename P::V rv = ref.load(c.i);
+  typename P::V dv = db.load(c.j);
+  uint64_t cbytes;
+  std::memcpy(&cbytes, db_cnt8 + c.j, 8);
+  __m512i C = _mm512_set1_epi64((long long)cbytes);
+  __mmask8 m[8];
+  __m512i sel[8];
+  eq_rot<P, 0>(rv, dv, m, off, sel);
+  eq_rot<P, 1>(rv, dv, m, off, sel);
+  eq_rot<P, 2>(rv, dv, m, off, sel);
+  eq_rot<P, 3>(rv, dv, m, off, sel);
+  eq_rot<P, 4>(rv, dv, m, off, sel);
+  eq_rot<P, 5>(rv, dv, m, off, sel);
+  eq_rot<P, 6>(rv, dv, m, off, sel);
+  eq_rot<P, 7>(rv, dv, m, off, sel);
+  __m512i s01 = _mm512_or_si512(sel[0], sel[1]);
+  __m512i s23 = _mm512_or_si512(sel[2], sel[3]);
+  __m512i s45 = _mm512_or_si512(sel[4], sel[5]);
+  __m512i s67 = _mm512_or_si512(sel[6], sel[7]);
+  __m512i idx = _mm512_or_si512(_mm512_or_si512(s01, s23),
+                                _mm512_or_si512(s45, s67));
+  __mmask8 found = (__mmask8)(m[0] | m[1] | m[2] | m[3] | m[4] | m[5] |
+                              m[6] | m[7]);
+  c.cnt_acc = _mm512_mask_mov_epi64(
+      c.cnt_acc, found, _mm512_permutexvar_epi8(idx, C));
+  u128 rmax = ref.at(c.i + 7);
+  u128 dmax = db.at(c.j + 7);
+  __m512i packed = _mm512_permutexvar_epi8(pack_sel, c.cnt_acc);
+  uint64_t bytes =
+      (uint64_t)_mm_cvtsi128_si64(_mm512_castsi512_si128(packed));
+  std::memcpy(out_u8 + (c.i - lo), &bytes, 8);
+  int adv_r = rmax <= dmax;
+  int adv_d = dmax <= rmax;
+  c.cnt_acc = _mm512_maskz_mov_epi64((__mmask8)(adv_r ? 0 : 0xFF),
+                                     c.cnt_acc);
+  c.i += (int64_t)adv_r * 8;
+  c.j += (int64_t)adv_d * 8;
+}
+
+// AVX-512 sorted-set intersection: 8 ref keys x 8 db keys all-pairs per
+// step (8 VALIGNQ rotations + VPCMPEQ per limb), matched count byte
+// selected with one VPERMB through an OR-tree of disjoint per-lane byte
+// indices (both sides are unique so at most one rotation matches a
+// lane). Steps are branchless (stores unconditional - a later step's
+// write wins until the ref block retires; advances arithmetic) and
+// N_CHAINS independent zippers interleave to hide the loop-carried
+// advance latency. Counts are u8-saturated by the caller; exception
+// (>=255) fixup happens outside.
 template <class P>
 KCF_AVX512 static void merge_block_u8_simd(const P ref, int64_t lo,
                                            int64_t hi, const P db,
                                            const uint8_t* db_cnt8,
                                            int64_t n_db, uint8_t* out_u8) {
-  int64_t i = lo;
-  int64_t j = 0;
-  if (i < hi) j = db.lower_bound(n_db, ref.at(lo)) & ~7LL;
   // lane l, rotation r selects count byte l*8 + ((l+r)&7) of the
   // broadcast 8-byte count block
   __m512i off[8];
@@ -408,55 +472,43 @@ KCF_AVX512 static void merge_block_u8_simd(const P ref, int64_t lo,
   }
   const __m512i pack_sel = _mm512_set_epi64(0, 0, 0, 0, 0, 0, 0,
                                             0x3830282018100800LL);
-  __m512i cnt_acc = _mm512_setzero_si512();
-  while (i + 8 <= hi && j + 8 <= n_db) {
-    typename P::V rv = ref.load(i);
-    typename P::V dv = db.load(j);
-    uint64_t cbytes;
-    std::memcpy(&cbytes, db_cnt8 + j, 8);
-    __m512i C = _mm512_set1_epi64((long long)cbytes);
-    __mmask8 m[8];
-    __m512i sel[8];
-    eq_rot<P, 0>(rv, dv, m, off, sel);
-    eq_rot<P, 1>(rv, dv, m, off, sel);
-    eq_rot<P, 2>(rv, dv, m, off, sel);
-    eq_rot<P, 3>(rv, dv, m, off, sel);
-    eq_rot<P, 4>(rv, dv, m, off, sel);
-    eq_rot<P, 5>(rv, dv, m, off, sel);
-    eq_rot<P, 6>(rv, dv, m, off, sel);
-    eq_rot<P, 7>(rv, dv, m, off, sel);
-    __m512i s01 = _mm512_or_si512(sel[0], sel[1]);
-    __m512i s23 = _mm512_or_si512(sel[2], sel[3]);
-    __m512i s45 = _mm512_or_si512(sel[4], sel[5]);
-    __m512i s67 = _mm512_or_si512(sel[6], sel[7]);
-    __m512i idx = _mm512_or_si512(_mm512_or_si512(s01, s23),
-                                  _mm512_or_si512(s45, s67));
-    __mmask8 found = (__mmask8)(m[0] | m[1] | m[2] | m[3] | m[4] | m[5] |
-                                m[6] | m[7]);
-    cnt_acc = _mm512_mask_mov_epi64(
-        cnt_acc, found, _mm512_permutexvar_epi8(idx, C));
-    u128 rmax = ref.at(i + 7);
-    u128 dmax = db.at(j + 7);
-    __m512i packed = _mm512_permutexvar_epi8(pack_sel, cnt_acc);
-    uint64_t bytes =
-        (uint64_t)_mm_cvtsi128_si64(_mm512_castsi512_si128(packed));
-    std::memcpy(out_u8 + (i - lo), &bytes, 8);
-    int adv_r = rmax <= dmax;
-    int adv_d = dmax <= rmax;
-    cnt_acc = _mm512_maskz_mov_epi64((__mmask8)(adv_r ? 0 : 0xFF), cnt_acc);
-    i += (int64_t)adv_r * 8;
-    j += (int64_t)adv_d * 8;
+  constexpr int NC = 4;
+  MergeChain<P> ch[NC];
+  int64_t n = hi - lo;
+  for (int c = 0; c < NC; ++c) {
+    int64_t a = lo + ((n * c / NC) & ~7LL);
+    int64_t b = (c == NC - 1) ? hi : lo + ((n * (c + 1) / NC) & ~7LL);
+    ch[c].i = a;
+    ch[c].hi = b;
+    ch[c].j = (a < b) ? (db.lower_bound(n_db, ref.at(a)) & ~7LL) : 0;
+    ch[c].cnt_acc = _mm512_setzero_si512();
   }
-  // scalar tail; also re-does any partially processed ref block
-  if (i < hi) {
-    int64_t jj = db.lower_bound(n_db, ref.at(i));
-    while (i < hi && jj < n_db) {
-      u128 rr = ref.at(i), dd = db.at(jj);
-      out_u8[i - lo] = (dd == rr) ? db_cnt8[jj] : 0;
-      i += (dd >= rr);
-      jj += (dd <= rr);
+  bool all = true;
+  for (int c = 0; c < NC; ++c)
+    all = all && ch[c].i + 8 <= ch[c].hi && ch[c].j + 8 <= n_db;
+  while (all) {
+    for (int c = 0; c < NC; ++c)
+      merge_step(ref, db, db_cnt8, out_u8, lo, off, pack_sel, ch[c]);
+    for (int c = 0; c < NC; ++c)
+      all = all && ch[c].i + 8 <= ch[c].hi && ch[c].j + 8 <= n_db;
+  }
+  for (int c = 0; c < NC; ++c) {
+    // drain the chain solo, then a scalar tail that also re-does any
+    // partially processed ref block
+    while (ch[c].i + 8 <= ch[c].hi && ch[c].j + 8 <= n_db)
+      merge_step(ref, db, db_cnt8, out_u8, lo, off, pack_sel, ch[c]);
+    int64_t i = ch[c].i;
+    int64_t chi = ch[c].hi;
+    if (i < chi) {
+      int64_t jj = db.lower_bound(n_db, ref.at(i));
+      while (i < chi && jj < n_db) {
+        u128 rr = ref.at(i), dd = db.at(jj);
+        out_u8[i - lo] = (dd == rr) ? db_cnt8[jj] : 0;
+        i += (dd >= rr);
+        jj += (dd <= rr);
+      }
+      for (; i < chi; ++i) out_u8[i - lo] = 0;
     }
-    for (; i < hi; ++i) out_u8[i - lo] = 0;
   }
 }
 
@@ -467,12 +519,11 @@ KCF_AVX512 static void merge_block_u8_simd(const P ref, int64_t lo,
 // budget made every call on a high-count-rich DB fail over to the
 // scalar path (see ADVICE.md r1, medium).
 __attribute__((target("avx512f,avx512bw,avx512vl")))
-static int64_t saturate_counts(const uint32_t* in, int64_t n, uint8_t* out,
-                               std::vector<int64_t>& exc) {
-  exc.clear();
-  int64_t i = 0;
+static void saturate_counts_range(const uint32_t* in, int64_t lo, int64_t hi,
+                                  uint8_t* out, std::vector<int64_t>& exc) {
+  int64_t i = lo;
   const __m512i lim = _mm512_set1_epi32(255);
-  for (; i + 16 <= n; i += 16) {
+  for (; i + 16 <= hi; i += 16) {
     __m512i v = _mm512_loadu_si512(in + i);
     _mm_storeu_si128((__m128i*)(out + i), _mm512_cvtusepi32_epi8(v));
     __mmask16 big = _mm512_cmpge_epu32_mask(v, lim);
@@ -482,11 +533,34 @@ static int64_t saturate_counts(const uint32_t* in, int64_t n, uint8_t* out,
       exc.push_back(i + l);
     }
   }
-  for (; i < n; ++i) {
+  for (; i < hi; ++i) {
     uint32_t c = in[i];
     out[i] = (uint8_t)(c < 255u ? c : 255u);
     if (c >= 255u) exc.push_back(i);
   }
+}
+
+static int64_t saturate_counts(const uint32_t* in, int64_t n, uint8_t* out,
+                               std::vector<int64_t>& exc) {
+  exc.clear();
+  int n_threads = pick_threads(n, 1 << 20);
+  if (n_threads <= 1) {
+    saturate_counts_range(in, 0, n, out, exc);
+    return (int64_t)exc.size();
+  }
+  int64_t step = ((n + n_threads - 1) / n_threads + 15) & ~15LL;
+  std::vector<std::vector<int64_t>> t_exc((size_t)n_threads);
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * step;
+    int64_t hi = std::min(n, lo + step);
+    if (lo >= hi) break;
+    workers.emplace_back(saturate_counts_range, in, lo, hi, out,
+                         std::ref(t_exc[t]));
+  }
+  for (auto& w : workers) w.join();
+  // contiguous ordered ranges -> concatenation stays sorted
+  for (auto& v : t_exc) exc.insert(exc.end(), v.begin(), v.end());
   return (int64_t)exc.size();
 }
 
@@ -1802,6 +1876,245 @@ void kcf_encode_bases(const uint8_t* seq, int64_t n, uint8_t* codes,
     codes[i] = code_lut[seq[i]];
     valid[i] = valid_lut[seq[i]];
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Positional presence-bit pack for the device engine.
+//
+// The TPU is terrible at random gathers but excellent at long scans, so
+// the device-resident scorer uploads PER-POSITION presence bits (one
+// bit per k-mer start) instead of per-unique counts, and the positional
+// gather happens here at host memory speed: one pass over r_idx turns
+// the u8 merge-join output (per unique reference k-mer, exceptions
+// carry exact values >= 255) into
+//   - out_bits: LSB-first presence bitmap over positions
+//               (present = valid k-mer && exact count >= min_count),
+//   - cbuf:     per-position u8 count, zeroed where absent (scratch,
+//               caller-owned so it is reused across samples),
+// and a second pass over windows reduces cbuf into per-window exact
+// int64 count sums (the one quantity that genuinely needs 64-bit
+// accumulation, so it stays on the host). Semantics match the fused
+// scan / Plugins/GetVariants.java:219-261 count handling.
+namespace {
+
+void posbits_block_scalar(const uint8_t* counts, const int32_t* exc_idx,
+                          const uint32_t* exc_val, int64_t n_exc,
+                          const int32_t* r_idx, uint32_t min_count,
+                          int64_t p0, int64_t p1, uint8_t* bits,
+                          uint8_t* cbuf, std::vector<int64_t>& excpos) {
+  for (int64_t p = p0; p < p1; ++p) {
+    int32_t r = r_idx[p];
+    uint8_t c = (r >= 0) ? counts[r] : 0;
+    bool present;
+    if (__builtin_expect(c == 255u, 0)) {
+      uint32_t exact = exc_value(exc_idx, exc_val, n_exc, r);
+      present = exact >= min_count;
+      if (present) excpos.push_back(p);
+    } else {
+      present = (r >= 0) && ((uint32_t)c >= min_count);
+    }
+    cbuf[p] = present ? c : 0;
+    if (present) bits[p >> 3] |= (uint8_t)(1u << (p & 7));
+  }
+}
+
+#if defined(__x86_64__)
+// 16-wide gather + presence compare; blocks are 64-position (8-byte)
+// aligned so threads never share an output byte. min_count <= 255 only
+// (saturated-255 implies exact >= 255 >= min_count, so the u8 compare
+// is exact for presence; count fixup rides excpos).
+__attribute__((target("avx512f,avx512bw,avx512vl")))
+void posbits_block_simd(const uint8_t* counts, int64_t n_counts,
+                        const int32_t* r_idx, uint32_t min_count,
+                        int64_t p0, int64_t p1, uint8_t* bits,
+                        uint8_t* cbuf, std::vector<int64_t>& excpos) {
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i ffm = _mm512_set1_epi32(0xFF);
+  const __m512i cap = _mm512_set1_epi32((int)(n_counts - 4));
+  const __m128i v255 = _mm_set1_epi8((char)0xFF);
+  const __m128i mc = _mm_set1_epi8((char)(uint8_t)min_count);
+  constexpr int64_t PF = 48;  // gather-target prefetch distance
+  int64_t p = p0;
+  for (; p + 16 <= p1; p += 16) {
+    if (p + PF + 16 <= p1) {
+      // hide the L3 latency of the next-but-two gather's random reads
+      for (int l = 0; l < 16; l += 2) {
+        int32_t r = r_idx[p + PF + l];
+        if (r >= 0) __builtin_prefetch(counts + r, 0, 1);
+      }
+    }
+    __m512i ri = _mm512_loadu_si512(r_idx + p);
+    __mmask16 valid = _mm512_cmpge_epi32_mask(ri, zero);
+    __mmask16 ok = valid & _mm512_cmple_epi32_mask(ri, cap);
+    __m128i bytes;
+    if (__builtin_expect(ok == valid, 1)) {
+      __m512i g = _mm512_mask_i32gather_epi32(zero, valid, ri, counts, 1);
+      bytes = _mm512_cvtepi32_epi8(_mm512_and_si512(g, ffm));
+    } else {
+      alignas(16) uint8_t tmp[16];
+      for (int l = 0; l < 16; ++l) {
+        int32_t r = r_idx[p + l];
+        tmp[l] = (r >= 0) ? counts[r] : 0;
+      }
+      bytes = _mm_load_si128((const __m128i*)tmp);
+    }
+    __mmask16 present =
+        valid & _mm_cmpge_epu8_mask(bytes, mc);
+    _mm_storeu_si128((__m128i*)(cbuf + p),
+                     _mm_maskz_mov_epi8(present, bytes));
+    uint16_t pb = (uint16_t)present;
+    std::memcpy(bits + (p >> 3), &pb, 2);
+    uint16_t is255 = (uint16_t)(_mm_cmpeq_epi8_mask(bytes, v255) & present);
+    while (__builtin_expect(is255 != 0, 0)) {
+      int l = __builtin_ctz(is255);
+      is255 &= (uint16_t)(is255 - 1);
+      excpos.push_back(p + l);
+    }
+  }
+  for (; p < p1; ++p) {
+    int32_t r = r_idx[p];
+    uint8_t c = (r >= 0) ? counts[r] : 0;
+    bool present = (r >= 0) && ((uint32_t)c >= min_count);
+    cbuf[p] = present ? c : 0;
+    if (present) {
+      bits[p >> 3] |= (uint8_t)(1u << (p & 7));
+      if (c == 255u) excpos.push_back(p);
+    }
+  }
+}
+
+__attribute__((target("avx512f,avx512bw,avx512vl")))
+int64_t sum_bytes_simd(const uint8_t* buf, int64_t s, int64_t hi) {
+  __m512i acc = _mm512_setzero_si512();
+  const __m512i zero = _mm512_setzero_si512();
+  int64_t p = s;
+  for (; p + 64 <= hi + 1; p += 64) {
+    __m512i v = _mm512_loadu_si512(buf + p);
+    acc = _mm512_add_epi64(acc, _mm512_sad_epu8(v, zero));
+  }
+  if (p <= hi) {
+    __mmask64 m = (~0ull) >> (63 - (hi - p));
+    __m512i v = _mm512_maskz_loadu_epi8(m, buf + p);
+    acc = _mm512_add_epi64(acc, _mm512_sad_epu8(v, zero));
+  }
+  alignas(64) uint64_t lanes[8];
+  _mm512_store_si512(lanes, acc);
+  int64_t total = 0;
+  for (int l = 0; l < 8; ++l) total += (int64_t)lanes[l];
+  return total;
+}
+#endif  // __x86_64__
+
+void posbits_windows_range(const uint8_t* cbuf, int64_t n_pos,
+                           const int32_t* exc_idx, const uint32_t* exc_val,
+                           int64_t n_exc, const int32_t* r_idx,
+                           const std::vector<int64_t>& excpos, bool simd,
+                           const int32_t* w_start, const int32_t* w_hi,
+                           int64_t w_lo, int64_t w_end, int64_t* out_cnt) {
+  for (int64_t w = w_lo; w < w_end; ++w) {
+    int64_t s = w_start[w];
+    int64_t hi = w_hi[w];
+    if (hi >= n_pos) hi = n_pos - 1;
+    if (hi < s) {
+      out_cnt[w] = 0;
+      continue;
+    }
+    int64_t cnt;
+#if defined(__x86_64__)
+    if (simd) {
+      cnt = sum_bytes_simd(cbuf, s, hi);
+    } else
+#endif
+    {
+      cnt = 0;
+      for (int64_t p = s; p <= hi; ++p) cnt += cbuf[p];
+    }
+    if (__builtin_expect(!excpos.empty(), 0)) {
+      auto it = std::lower_bound(excpos.begin(), excpos.end(), s);
+      for (; it != excpos.end() && *it <= hi; ++it) {
+        uint32_t exact = exc_value(exc_idx, exc_val, n_exc, r_idx[*it]);
+        cnt += (int64_t)exact - 255;
+      }
+    }
+    out_cnt[w] = cnt;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void kcf_pack_posbits(const uint8_t* counts, int64_t n_counts,
+                      const int32_t* exc_idx, const uint32_t* exc_val,
+                      int64_t n_exc, const int32_t* r_idx, int64_t n_pos,
+                      uint32_t min_count, const int32_t* w_start,
+                      const int32_t* w_hi, int64_t n_win, uint8_t* out_bits,
+                      int64_t n_bits_bytes, uint8_t* cbuf,
+                      int64_t* out_cnt) {
+  std::memset(out_bits, 0, (size_t)n_bits_bytes);
+#if defined(__x86_64__)
+  bool simd = cpu_simd_merge() && min_count <= 255u && n_counts >= 8;
+#else
+  bool simd = false;
+#endif
+  // pass 1: positional gather -> presence bits + zero-masked counts,
+  // split over 64-position-aligned blocks (threads never share a byte)
+  int n_threads = pick_threads(n_pos, 1 << 18);
+  int64_t blocks = (n_pos + 63) / 64;
+  std::vector<std::vector<int64_t>> t_exc((size_t)std::max(n_threads, 1));
+  auto run1 = [&](int t, int64_t b0, int64_t b1) {
+    int64_t p0 = b0 * 64;
+    int64_t p1 = std::min(n_pos, b1 * 64);
+    if (p0 >= p1) return;
+#if defined(__x86_64__)
+    if (simd) {
+      posbits_block_simd(counts, n_counts, r_idx, min_count, p0, p1,
+                         out_bits, cbuf, t_exc[t]);
+      // saturated-255 presence needs no exact compare, but counts do:
+      // replace is handled via excpos in pass 2
+      return;
+    }
+#endif
+    posbits_block_scalar(counts, exc_idx, exc_val, n_exc, r_idx, min_count,
+                         p0, p1, out_bits, cbuf, t_exc[t]);
+  };
+  if (n_threads <= 1) {
+    run1(0, 0, blocks);
+  } else {
+    int64_t step = (blocks + n_threads - 1) / n_threads;
+    std::vector<std::thread> workers;
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * step;
+      int64_t b1 = std::min(blocks, b0 + step);
+      if (b0 >= b1) break;
+      workers.emplace_back(run1, t, b0, b1);
+    }
+    for (auto& w : workers) w.join();
+  }
+  // thread ranges are contiguous and ordered -> concatenation is sorted
+  std::vector<int64_t> excpos;
+  for (auto& v : t_exc) excpos.insert(excpos.end(), v.begin(), v.end());
+
+  // pass 2: per-window exact count sums over the zero-masked buffer
+  int n_threads2 = pick_threads(n_win, 8);
+  if (n_threads2 <= 1 || n_win < 8) {
+    posbits_windows_range(cbuf, n_pos, exc_idx, exc_val, n_exc, r_idx,
+                          excpos, simd, w_start, w_hi, 0, n_win, out_cnt);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t step = (n_win + n_threads2 - 1) / n_threads2;
+  for (int t = 0; t < n_threads2; ++t) {
+    int64_t lo = t * step;
+    int64_t hi = std::min(n_win, lo + step);
+    if (lo >= hi) break;
+    workers.emplace_back(posbits_windows_range, cbuf, n_pos, exc_idx,
+                         exc_val, n_exc, r_idx, std::cref(excpos), simd,
+                         w_start, w_hi, lo, hi, out_cnt);
+  }
+  for (auto& w : workers) w.join();
 }
 
 }  // extern "C"
