@@ -253,46 +253,6 @@ def gap_scan_core(valid, present, win_len, *, k: int):
     }
 
 
-def _scan_chunk_states(chunk_state, starts, win_len, *, Lp, k):
-    """chunk_state: (C,) uint8 state codes; windows gathered on device."""
-    B = starts.shape[0]
-    idx = starts[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
-    idx = jnp.minimum(idx, chunk_state.shape[0] - 1)
-    st = chunk_state[idx]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
-    in_win = pos < win_len[:, None]
-    valid = ((st & jnp.uint8(1)) != 0) & in_win
-    present = ((st & jnp.uint8(2)) != 0) & in_win
-    return _stack_results(gap_scan_core(valid, present, win_len, k=k))
-
-
-class ScanScorer:
-    """Device scorer for the hybrid engine: gap/eff scans over state
-    arrays; presence already resolved on host."""
-
-    def __init__(self, k: int):
-        self.k = k
-        self._fns = {}
-
-    def _fn(self, Lp):
-        if Lp not in self._fns:
-            self._fns[Lp] = jax.jit(
-                functools.partial(_scan_chunk_states, Lp=Lp, k=self.k)
-            )
-        return self._fns[Lp]
-
-    def score_chunk_async(self, chunk_state, starts, win_len, Lp: int):
-        return self._fn(Lp)(
-            jnp.asarray(chunk_state),
-            jnp.asarray(starts, jnp.int32),
-            jnp.asarray(win_len, jnp.int32),
-        )
-
-    @staticmethod
-    def collect(handle) -> dict:
-        return _unstack(np.asarray(handle))
-
-
 class WindowScorer:
     """Wraps a KmerTable on device + jitted scoring over padded batches.
 

@@ -42,6 +42,11 @@ class RefKmerIndex:
         return self.kmers_hi is not None
 
     @property
+    def mlimb(self):
+        """k > 64: kmers are big-endian S{nb} byte records."""
+        return self.kmers is not None and self.kmers.dtype.kind == "S"
+
+    @property
     def n_kmers(self):
         return (
             self.kmers_hi.shape[0] if self.wide else self.kmers.shape[0]
@@ -55,16 +60,29 @@ class RefKmerIndex:
     @classmethod
     def build(cls, index, k, canonical=True):
         """index: io.fasta.FastaIndex."""
-        if k > 32:
+        if 32 < k <= 64:
             return cls._build_wide(index, k, canonical)
         names = index.get_sequence_names()
         per_chrom_kmers = {}
         per_chrom_valid = {}
+        if k > 64:
+            # byte-record keys share this exact algorithm: numpy S{nb}
+            # comparisons are memcmp, so unique/searchsorted order
+            # matches the packed numeric order (engine/encode_mlimb.py)
+            from .encode_mlimb import canonical_kmer_bytes, n_bytes
+
+            empty = np.empty(0, f"S{n_bytes(k)}")
+        else:
+            empty = np.empty(0, np.uint64)
         for name in names:
             codes, valid = index.sequence_codes(name)
-            kmers, kvalid = pack_kmers(codes, valid, k)
-            if canonical and kmers.size:
-                kmers = canonicalize(kmers, k)
+            if k > 64:
+                kmers, kvalid = canonical_kmer_bytes(codes, valid, k,
+                                                     canonical)
+            else:
+                kmers, kvalid = pack_kmers(codes, valid, k)
+                if canonical and kmers.size:
+                    kmers = canonicalize(kmers, k)
             per_chrom_kmers[name] = kmers
             per_chrom_valid[name] = kvalid
 
@@ -76,7 +94,7 @@ class RefKmerIndex:
         R = (
             np.unique(np.concatenate(uniq_parts))
             if uniq_parts
-            else np.empty(0, np.uint64)
+            else empty
         )
 
         chrom_r_idx = {}
@@ -206,7 +224,7 @@ class FeatureKmerIndex:
     def build(cls, index, gtf, k, canonical, is_gene):
         from .prefix_scan import static_window_stats
 
-        wide_k = k > 32
+        wide_k = 32 < k <= 64
         if wide_k:
             from ..native import wide
             from .encode_wide import (
@@ -214,6 +232,19 @@ class FeatureKmerIndex:
                 pack_kmers_wide,
                 to_value_limbs,
             )
+
+        def pack_canon(codes_cat, valid_cat):
+            # narrow (uint64) and mlimb (S{nb} byte-record) keys share
+            # the numpy unique/searchsorted machinery
+            if k > 64:
+                from .encode_mlimb import canonical_kmer_bytes
+
+                return canonical_kmer_bytes(codes_cat, valid_cat, k,
+                                            canonical)
+            kmers, kvalid = pack_kmers(codes_cat, valid_cat, k)
+            if canonical and kmers.size:
+                kmers = canonicalize(kmers, k)
+            return kmers, kvalid
 
         names = index.get_sequence_names()
         per_chrom = {}
@@ -276,9 +307,7 @@ class FeatureKmerIndex:
                     uh, ul, _ = wide.sort_unique(vhi[kvalid], vlo[kvalid])
                     parts.append((uh, ul))
             else:
-                kmers, kvalid = pack_kmers(codes_cat, valid_cat, k)
-                if canonical and kmers.size:
-                    kmers = canonicalize(kmers, k)
+                kmers, kvalid = pack_canon(codes_cat, valid_cat)
                 keys = kmers
                 if kmers.size and kvalid.any():
                     parts.append(np.unique(kmers[kvalid]))
@@ -320,11 +349,14 @@ class FeatureKmerIndex:
                 R_hi = R_lo = np.empty(0, np.uint64)
             R = None
         else:
-            R = (
-                np.unique(np.concatenate(parts))
-                if parts
-                else np.empty(0, np.uint64)
-            )
+            if parts:
+                R = np.unique(np.concatenate(parts))
+            elif k > 64:
+                from .encode_mlimb import n_bytes
+
+                R = np.empty(0, f"S{n_bytes(k)}")
+            else:
+                R = np.empty(0, np.uint64)
             R_hi = R_lo = None
         chrom_plans = {}
         for name, pl in per_chrom.items():

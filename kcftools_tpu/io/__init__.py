@@ -1,6 +1,6 @@
 from .fasta import FastaIndex
 from .kmc import KMCReader, write_kmc_db
-from .kcf import KCFHeader, Window, SampleData, KCFReader, KCFWriter
+from .kcf import KCFHeader, Window, KCFReader, KCFWriter
 from .gtf import GTF
 
 __all__ = [
@@ -9,7 +9,6 @@ __all__ = [
     "write_kmc_db",
     "KCFHeader",
     "Window",
-    "SampleData",
     "KCFReader",
     "KCFWriter",
     "GTF",

@@ -730,5 +730,4 @@ def _parse_efflen(info: str) -> int:
 
 
 # Backwards-friendly aliases used by plugins
-SampleData = None  # columnar model; kept for __init__ export compatibility
 Window = WindowBlock

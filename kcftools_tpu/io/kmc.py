@@ -118,12 +118,13 @@ class KMCReader:
             (self.version,) = struct.unpack("<i", hdr[64:68])
             if self.version != 0x200:
                 Logger.error(_CLASS, "KMC version is not 0x200")
-            if self.kmer_length > 64:
+            if self.kmer_length > 256:
                 Logger.error(
                     _CLASS,
-                    f"k={self.kmer_length} > 64 not supported by this build",
+                    f"k={self.kmer_length} > 256 exceeds the KMC envelope",
                 )
-            self.wide = self.kmer_length > 32
+            self.mlimb = self.kmer_length > 64  # byte-record keys
+            self.wide = 32 < self.kmer_length <= 64
             self.suffix_length = self.kmer_length - self.lut_prefix_length
 
             sig_map_size = (1 << (2 * self.signature_length)) + 1
@@ -157,6 +158,9 @@ class KMCReader:
         if (np.diff(bounds_all.astype(np.int64)) < 0).any():
             Logger.error(_CLASS, f"Corrupt prefix array in {self.prefix_file}")
 
+        if self.mlimb:
+            self._read_records_mlimb(suf_bytes, rec, n, bounds_all, lut_size)
+            return
         if get_lib() is not None:
             # slab-streamed native decode against the absolute bin
             # boundaries; the decoder (threaded) maps slab records to
@@ -232,6 +236,54 @@ class KMCReader:
         self.kmers = (prefixes << np.uint64(2 * self.suffix_length)) | suffix
         self.counts = counts
 
+    def _read_records_mlimb(self, suf_bytes, rec, n, bounds_all, lut_size):
+        """k > 64: decode records into big-endian S{nb} byte keys (see
+        engine/encode_mlimb.py). The record's suffix bytes ARE the low
+        key bytes; the prefix (lut_prefix_length bases) fills the high
+        bytes - (pad + lut_len) is always a whole number of bytes
+        because the suffix is whole bytes."""
+        from ..engine.encode_mlimb import n_bytes
+
+        k = self.kmer_length
+        nb = n_bytes(k)
+        p_bytes = nb - suf_bytes
+        keymat = np.empty((n, nb), np.uint8)
+        self.counts = np.empty(n, np.uint32)
+        per_bin = np.diff(bounds_all.astype(np.int64))
+        prefixes_all = np.repeat(
+            np.arange(len(self.prefix_array), dtype=np.int64) % lut_size,
+            per_bin,
+        ).astype(np.uint64)
+        if prefixes_all.shape[0] != n:
+            Logger.error(_CLASS, "Prefix array does not cover all records")
+        with open(self.suffix_file, "rb") as fh:
+            fh.seek(4)
+            done = 0
+            while done < n:
+                m = min(self._SLAB_RECORDS, n - done)
+                raw = np.fromfile(fh, dtype=np.uint8, count=m * rec)
+                if raw.shape[0] < m * rec:
+                    Logger.error(
+                        _CLASS, f"Truncated suffix file: {self.suffix_file}"
+                    )
+                raw = raw.reshape(m, rec)
+                keymat[done : done + m, p_bytes:] = raw[:, :suf_bytes]
+                pv = prefixes_all[done : done + m]
+                for j in range(p_bytes):
+                    shift = np.uint64(8 * (p_bytes - 1 - j))
+                    keymat[done : done + m, j] = (
+                        (pv >> shift) & np.uint64(0xFF)
+                    ).astype(np.uint8)
+                cnt = np.zeros(m, np.uint32)
+                for j in range(self.counter_size):
+                    cnt |= raw[:, suf_bytes + j].astype(np.uint32) << np.uint32(
+                        8 * j
+                    )
+                self.counts[done : done + m] = cnt
+                done += m
+        self.kmers = None
+        self.kmers_bytes = keymat.view(f"S{nb}").ravel()
+
     def print_summary(self):
         rows = [
             ("KMC prefix file", self.prefix_file),
@@ -284,6 +336,11 @@ def write_kmc_db(
     if isinstance(kmers, tuple):
         return _write_kmc_db_wide(
             db_prefix, kmers[0], kmers[1], counts, k, sig_len, lut_len,
+            counter_size, both_strands, min_count, max_count, mode,
+        )
+    if getattr(np.asarray(kmers).dtype, "kind", None) == "S":
+        return _write_kmc_db_mlimb(
+            db_prefix, np.asarray(kmers), counts, k, sig_len, lut_len,
             counter_size, both_strands, min_count, max_count, mode,
         )
     kmers = np.asarray(kmers, dtype=np.uint64)
@@ -414,6 +471,78 @@ def _write_kmc_db_wide(db_prefix, khi, klo, counts, k, sig_len, lut_len,
     rec[:, :suf_bytes] = suffixes
     for j in range(counter_size):
         rec[:, suf_bytes + j] = (counts_s >> np.uint64(8 * j)) & np.uint64(0xFF)
+
+    _emit_kmc_files(
+        db_prefix, prefix_array, sig_map, rec, n, k, mode, counter_size,
+        lut_len, sig_len, min_count, max_count, both_strands,
+    )
+
+
+def _write_kmc_db_mlimb(db_prefix, kmers, counts, k, sig_len, lut_len,
+                        counter_size, both_strands, min_count, max_count,
+                        mode):
+    """k > 64 database writer; kmers as big-endian S{nb} byte records
+    (engine/encode_mlimb.py). The record layout falls out directly: the
+    low suffix bytes of each key ARE the stored suffix bytes."""
+    from ..engine.encode_mlimb import n_bytes, signatures_bytes
+
+    counts = np.asarray(counts, np.uint64)
+    if lut_len is None:
+        lut_len = choose_lut_prefix_length(k)
+    suffix_len = k - lut_len
+    if suffix_len % 4 != 0:
+        raise ValueError("k - lut_prefix_length must be divisible by 4")
+    n = kmers.shape[0]
+    nb = n_bytes(k)
+    suf_bytes = suffix_len // 4
+    p_bytes = nb - suf_bytes
+
+    norm = _build_norm(sig_len)
+    sigs = (
+        signatures_bytes(kmers, k, sig_len, norm)
+        if n
+        else np.empty(0, np.uint32)
+    )
+    uniq_sigs = np.unique(sigs)
+    nbins = max(1, len(uniq_sigs))
+    sig_map = np.zeros((1 << (2 * sig_len)) + 1, dtype=np.uint32)
+    sig_map[uniq_sigs.astype(np.int64)] = np.arange(
+        len(uniq_sigs), dtype=np.uint32
+    )
+    bin_of_sig = {int(s): i for i, s in enumerate(uniq_sigs)}
+    bins = (
+        np.array([bin_of_sig[int(s)] for s in sigs], dtype=np.uint64)
+        if n
+        else np.empty(0, np.uint64)
+    )
+    # (bin, key) order via two stable passes (np.lexsort rejects bytes)
+    order = np.argsort(kmers, kind="stable")
+    order = order[np.argsort(bins[order], kind="stable")]
+    keymat = (
+        np.frombuffer(kmers.tobytes(), np.uint8).reshape(n, nb)[order]
+        if n
+        else np.empty((0, nb), np.uint8)
+    )
+    counts_s = counts[order]
+    bins_s = bins[order]
+
+    lut_size = 1 << (2 * lut_len)
+    prefix_of = np.zeros(n, np.uint64)
+    for j in range(p_bytes):
+        prefix_of = (prefix_of << np.uint64(8)) | keymat[:, j].astype(
+            np.uint64
+        )
+    keys = bins_s * np.uint64(lut_size) + prefix_of
+    prefix_array = np.searchsorted(
+        keys, np.arange(nbins * lut_size, dtype=np.uint64)
+    ).astype("<u8")
+
+    rec = np.zeros((n, suf_bytes + counter_size), dtype=np.uint8)
+    rec[:, :suf_bytes] = keymat[:, p_bytes:]
+    for j in range(counter_size):
+        rec[:, suf_bytes + j] = (counts_s >> np.uint64(8 * j)) & np.uint64(
+            0xFF
+        )
 
     _emit_kmc_files(
         db_prefix, prefix_array, sig_map, rec, n, k, mode, counter_size,

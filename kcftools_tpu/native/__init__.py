@@ -262,8 +262,17 @@ def merge_counts_u8(ref_sorted, db_sorted, db_counts, lo=0, hi=None,
     then falls back to the uint32 merge + numpy compression (also used
     when the native library is missing).
 
-    ref/db may be plain uint64 arrays (k <= 32) or (hi, lo) uint64 pairs
-    for wide k-mers."""
+    ref/db may be plain uint64 arrays (k <= 32), (hi, lo) uint64 pairs
+    for wide k-mers (33..64), or S{nb} byte records for k > 64."""
+    if (
+        not isinstance(ref_sorted, tuple)
+        and np.asarray(ref_sorted).dtype.kind == "S"
+    ):
+        from ..engine.encode_mlimb import merge_counts_u8_bytes
+
+        return merge_counts_u8_bytes(
+            ref_sorted, db_sorted, db_counts, lo=lo, hi=hi, out=out
+        )
     wide_keys = isinstance(ref_sorted, tuple)
     n_ref = ref_sorted[0].shape[0] if wide_keys else ref_sorted.shape[0]
     if hi is None:

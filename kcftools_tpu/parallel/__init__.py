@@ -1,4 +1,4 @@
-from .mesh import make_mesh, shard_table, replicate_table
+from .mesh import make_mesh
 from .sharded import ShardedWindowScorer
 
-__all__ = ["make_mesh", "shard_table", "replicate_table", "ShardedWindowScorer"]
+__all__ = ["make_mesh", "ShardedWindowScorer"]

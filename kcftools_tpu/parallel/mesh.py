@@ -19,7 +19,7 @@ code spans hosts (ICI within a slice, DCN across).
 import numpy as np
 from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..utils.logger import Logger
 
@@ -41,21 +41,3 @@ def make_mesh(data: int = None, table: int = 1, devices=None) -> Mesh:
     if data * table != n:
         Logger.error(_CLASS, f"mesh {data}x{table} != {n} devices")
     return Mesh(devices.reshape(data, table), ("data", "table"))
-
-
-def replicate_table(table, mesh: Mesh):
-    """Replicate table arrays on every device (small-table path)."""
-    sharding = NamedSharding(mesh, P())
-    return tuple(
-        jax.device_put(x, sharding) for x in (table.hi, table.lo, table.counts)
-    )
-
-
-def shard_table(table, mesh: Mesh):
-    """Shard table buckets across the 'table' axis. Bucket index bits are
-    preserved: shard s owns buckets [s*nb/T, (s+1)*nb/T); lookups mask
-    out non-owned buckets so a cross-shard sum is exact."""
-    sharding = NamedSharding(mesh, P("table", None))
-    return tuple(
-        jax.device_put(x, sharding) for x in (table.hi, table.lo, table.counts)
-    )

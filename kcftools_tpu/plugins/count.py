@@ -55,7 +55,8 @@ def add_parser(subparsers):
 def count_fasta_kmers(paths, k, canonical=True):
     """Return (unique_kmers uint64, counts uint64) across all sequences.
     For k > 32 returns ((hi, lo) value-limb tuple, counts)."""
-    wide_mode = k > 32
+    wide_mode = 32 < k <= 64
+    ml_mode = k > 64
     all_kmers = []
     for path in paths:
         index = FastaIndex(path)
@@ -64,7 +65,15 @@ def count_fasta_kmers(paths, k, canonical=True):
             for off in range(0, L, _CHUNK):
                 end = min(off + _CHUNK + k - 1, L)
                 codes, valid = index.sequence_codes(name, off, end - off)
-                if wide_mode:
+                if ml_mode:
+                    from ..engine.encode_mlimb import canonical_kmer_bytes
+
+                    keys, kvalid = canonical_kmer_bytes(
+                        codes, valid, k, canonical
+                    )
+                    if kvalid.any():
+                        all_kmers.append(keys[kvalid])
+                elif wide_mode:
                     from ..engine.encode_wide import (
                         canonicalize_wide,
                         pack_kmers_wide,
@@ -86,6 +95,15 @@ def count_fasta_kmers(paths, k, canonical=True):
                         all_kmers.append(kmers)
                 if end == L:
                     break
+    if ml_mode:
+        from ..engine.encode_mlimb import n_bytes
+
+        if not all_kmers:
+            return np.empty(0, f"S{n_bytes(k)}"), np.empty(0, np.uint64)
+        uniq, counts = np.unique(
+            np.concatenate(all_kmers), return_counts=True
+        )
+        return uniq, counts.astype(np.uint64)
     if wide_mode:
         from ..native import wide as wide_ops
 
@@ -106,8 +124,8 @@ def count_fasta_kmers(paths, k, canonical=True):
 def run(args):
     paths = args.input.split(",")
     k = args.kmer_size
-    if k < 10 or k > 64:
-        Logger.error(_CLASS, "k must be in [10, 64] (signature length 9)")
+    if k < 10 or k > 256:
+        Logger.error(_CLASS, "k must be in [10, 256] (signature length 9)")
     canonical = not args.single_strand
     Logger.info(_CLASS, f"Counting {k}-mers in {paths}")
     uniq, counts = count_fasta_kmers(paths, k, canonical)

@@ -188,15 +188,7 @@ def run(args):
             uh = args.engine in ("auto", "hybrid")
         db_sorted = None
         if uh:
-            if k > 32:
-                from ..native import wide
-
-                dbh, dbl, dbc = wide.sort_unique(
-                    kmc.kmers_hi, kmc.kmers_lo, kmc.counts
-                )
-                db_sorted = ((dbh, dbl), dbc.astype(np.uint32))
-            else:
-                db_sorted = sort_pairs(kmc.kmers, kmc.counts)
+            db_sorted = _sort_db(kmc, k)
         return kmc, uh, db_sorted
 
     pool = (
@@ -255,6 +247,22 @@ def run(args):
         pool.shutdown(wait=False)
     if dscorer is not None:
         dscorer.close()
+
+
+def _sort_db(kmc, k):
+    """Sample table in plain sorted key order for the merge join.
+    k <= 32: uint64; 33..64: (hi, lo) limb pair; > 64: S{nb} records."""
+    if k > 64:
+        order = np.argsort(kmc.kmers_bytes)
+        return kmc.kmers_bytes[order], kmc.counts[order].astype(np.uint32)
+    if k > 32:
+        from ..native import wide
+
+        dbh, dbl, dbc = wide.sort_unique(
+            kmc.kmers_hi, kmc.kmers_lo, kmc.counts
+        )
+        return (dbh, dbl), dbc.astype(np.uint32)
+    return sort_pairs(kmc.kmers, kmc.counts)
 
 
 def _build_window_plan(args, index, refidx, k):
@@ -322,21 +330,25 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
     if use_hybrid:
         scorer = None
         if db_sorted is None:
-            if k > 32:
-                from ..native import wide
-
-                dbh, dbl, dbc = wide.sort_unique(
-                    kmc.kmers_hi, kmc.kmers_lo, kmc.counts
-                )
-                db_sorted = ((dbh, dbl), dbc.astype(np.uint32))
-            else:
-                db_sorted = sort_pairs(kmc.kmers, kmc.counts)
+            db_sorted = _sort_db(kmc, k)
         db_keys, dbc = db_sorted
         ref_keys = (
-            (refidx.kmers_hi, refidx.kmers_lo) if k > 32 else refidx.kmers
+            (refidx.kmers_hi, refidx.kmers_lo)
+            if 32 < k <= 64
+            else refidx.kmers
         )
         if dscorer is not None:
             dscorer.merge_and_upload(ref_keys, db_keys, dbc)
+        elif k > 64:
+            # byte-record merge is numpy either way; the native window
+            # scan consumes the u8 pack when available, the prefix
+            # fallback widens it
+            u8_pack = merge_counts_u8(ref_keys, db_keys, dbc)
+            if get_lib() is None:
+                u8, ei, ev = u8_pack
+                counts_r = u8.astype(np.uint32)
+                counts_r[ei] = ev
+                u8_pack = None
         elif get_lib() is not None:
             u8_pack = merge_counts_u8(ref_keys, db_keys, dbc)
         elif k > 32:

@@ -41,6 +41,17 @@ def write_fasta(path, records, line_len: int = 60):
                 fh.write(seq[i : i + line_len] + "\n")
 
 
+def str_key_bytes(s: str) -> bytes:
+    """k-mer string -> big-endian byte record (engine/encode_mlimb.py)."""
+    k = len(s)
+    nb = (k + 3) // 4
+    pad = nb * 4 - k
+    v = 0
+    for c in "A" * pad + s:
+        v = (v << 2) | "ACGT".index(c)
+    return v.to_bytes(nb, "big")
+
+
 def db_from_seqs(db_prefix, seqs, k, sig_len=9, both_strands=True):
     """Count k-mers naively and write a KMC-format DB; returns the dict."""
     from kcftools_tpu.engine.encode import str_to_kmer
@@ -48,6 +59,16 @@ def db_from_seqs(db_prefix, seqs, k, sig_len=9, both_strands=True):
     from .oracle import count_db
 
     db = count_db(seqs, k, both_strands)
+    if k > 64:
+        nb = (k + 3) // 4
+        keys = np.array([str_key_bytes(s) for s in db], dtype=f"S{nb}")
+        counts = np.array(list(db.values()), dtype=np.uint64)
+        order = np.argsort(keys)
+        write_kmc_db(
+            db_prefix, keys[order], counts[order], k,
+            sig_len=sig_len, both_strands=both_strands,
+        )
+        return db
     kmers = np.array([str_to_kmer(s) for s in db], dtype=np.uint64)
     counts = np.array(list(db.values()), dtype=np.uint64)
     order = np.argsort(kmers)

@@ -1,6 +1,7 @@
 """gene/transcript feature-mode end-to-end tests."""
 
 import numpy as np
+import pytest
 
 from kcftools_tpu.cli import main as cli_main
 from kcftools_tpu.io.gtf import GTF
@@ -166,10 +167,12 @@ def test_compare_ibs(tmp_path, rng):
     assert int(f[9]) <= int(f[8])
 
 
-def test_feature_hybrid_wide_k_and_n_runs(tmp_path, rng):
-    """Gene/transcript via the hybrid engine with k > 32 (wide keys) and
-    N runs inside exons, validated against the pure-Python oracle."""
-    k = 51
+@pytest.mark.parametrize("k", [51, 75])
+def test_feature_hybrid_wide_k_and_n_runs(tmp_path, rng, k):
+    """Gene/transcript via the hybrid engine with k > 32 (wide two-limb
+    keys at 51, byte-record keys at 75) and N runs inside exons,
+    validated against the pure-Python oracle; the DB comes from the
+    built-in counter, exercising the writer/reader at that k too."""
     chrom = random_seq(rng, 4000, n_prob=0.01)
     fa = str(tmp_path / "ref.fa")
     write_fasta(fa, [("chr1", chrom)])
