@@ -154,16 +154,18 @@ class _Uploader:
             item = self._q.get()
             if item is None:
                 return
-            key, buf, event = item
+            key, buf, device, event = item
             try:
-                self._results[key] = jax.device_put(buf, self._device)
+                self._results[key] = jax.device_put(
+                    buf, device or self._device
+                )
             except Exception as e:  # surfaced on take()
                 self._results[key] = e
             event.set()
 
-    def put(self, key, buf):
+    def put(self, key, buf, device=None):
         event = threading.Event()
-        self._q.put((key, buf, event))
+        self._q.put((key, buf, device, event))
         self._results[key] = event
 
     def take(self, key):
@@ -230,9 +232,16 @@ class _Layout:
                 i = j + 1
         return segs
 
-    def finalize(self):
+    def finalize(self, n_parts: int = 1):
         if self.slabs is not None:
             return
+        if n_parts > 1:
+            # shard the genome across devices: aim for >= n_parts slabs
+            # (window-aligned, so per-window stats stay exact)
+            total = sum(c[1].shape[0] for c in self._chroms)
+            self.slab_pos = max(
+                _SEG_ALIGN, min(self.slab_pos, -(-total // n_parts))
+            )
         segs = self._segments()
         # first-fit in order into slabs of <= slab_pos positions
         groups = []
@@ -247,14 +256,26 @@ class _Layout:
         if cur:
             groups.append(cur)
 
-        # shared padded shapes so every slab reuses one compiled program
-        pos_pad = _POS_BUCKET
-        win_pad = _WIN_BUCKET
-        for g in groups:
-            p = sum(_round_up(s["r_idx"].shape[0], _SEG_ALIGN) for s in g)
-            w = sum(len(s["w_start"]) for s in g)
-            pos_pad = max(pos_pad, _round_up(p, _POS_BUCKET))
-            win_pad = max(win_pad, _round_up(w, _WIN_BUCKET))
+        if not groups:
+            self.pos_pad = _SEG_ALIGN
+            self.win_pad = 64
+            self.slabs = []
+            self.chrom_n_win = {
+                name: len(ws) for name, _r, ws, _h in self._chroms
+            }
+            return
+        # shared padded shapes so every slab reuses one compiled program;
+        # big layouts bucket coarsely for compile reuse across runs,
+        # small ones pad only to the bit-word grid
+        maxp = max(
+            sum(_round_up(s["r_idx"].shape[0], _SEG_ALIGN) for s in g)
+            for g in groups
+        )
+        maxw = max(sum(len(s["w_start"]) for s in g) for g in groups)
+        pos_pad = _round_up(
+            maxp, _POS_BUCKET if maxp >= _POS_BUCKET else _SEG_ALIGN
+        )
+        win_pad = _round_up(maxw, _WIN_BUCKET if maxw >= _WIN_BUCKET else 64)
         self.pos_pad = pos_pad
         self.win_pad = win_pad
 
@@ -309,12 +330,16 @@ class DevicePrefixScorer:
         collect(key) -> {chrom: {field: int64 array}}.
     """
 
-    def __init__(self, refidx, k, min_count=1, device=None, batch=None):
+    def __init__(self, refidx, k, min_count=1, device=None, batch=None,
+                 devices=None):
         import jax
 
         self.k = int(k)
         self.min_count = int(min_count)
-        self.device = device or jax.devices()[0]
+        if devices is None:
+            devices = [device] if device is not None else jax.devices()
+        self.devices = list(devices)
+        self.device = self.devices[0]
         if batch is None:
             batch = int(os.environ.get("KCFTOOLS_DEVICE_BATCH", "4"))
         self.batch = max(1, int(batch))
@@ -342,14 +367,16 @@ class DevicePrefixScorer:
             return
         import jax
 
-        self._layout.finalize()
+        self._layout.finalize(n_parts=len(self.devices))
         self._statics = []
-        for slab in self._layout.slabs:
+        for si, slab in enumerate(self._layout.slabs):
+            dev = self.devices[si % len(self.devices)]
             self._statics.append(
                 {
-                    "cs_tot": jax.device_put(slab["cs_tot"], self.device),
-                    "w_start": jax.device_put(slab["w_start"], self.device),
-                    "w_hi": jax.device_put(slab["w_hi"], self.device),
+                    "device": dev,
+                    "cs_tot": jax.device_put(slab["cs_tot"], dev),
+                    "w_start": jax.device_put(slab["w_start"], dev),
+                    "w_hi": jax.device_put(slab["w_hi"], dev),
                 }
             )
 
@@ -400,7 +427,7 @@ class DevicePrefixScorer:
                 n_bits_bytes=self._layout.pos_pad // 8,
             )
             uk = (self._seq, si)
-            self._uploader.put(uk, bits)
+            self._uploader.put(uk, bits, self._statics[si]["device"])
             up_keys.append(uk)
             count_sums.append(csum)
         self._seq += 1
@@ -474,6 +501,11 @@ class DevicePrefixScorer:
     def score_chrom(self, name):
         """Single-sample flow: stats for one chromosome."""
         return self.collect(None)[name]
+
+    def devices_used(self):
+        """Distinct devices holding slab state (for tests/telemetry)."""
+        self._finalize()
+        return {st["device"] for st in self._statics}
 
     def discard(self, key=None):
         self._results.pop(key, None)

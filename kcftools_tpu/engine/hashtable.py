@@ -108,6 +108,24 @@ class KmerTable:
         return out
 
 
+def build_fixed(hi, lo, counts, nb):
+    """Two-choice build at a FIXED bucket count; the interleaved
+    (nb, 3*S) array or None on overflow (caller grows and retries)."""
+    from ..native import build_table_native
+
+    table = build_table_native(hi, lo, counts, nb, slots=BUCKET_SLOTS)
+    if table is None:
+        table = _try_build(hi, lo, counts, nb)
+    if table is None:
+        return None
+    t_hi, t_lo, t_cnt = table
+    return np.ascontiguousarray(np.concatenate([t_hi, t_lo, t_cnt], axis=1))
+
+
+def suggest_buckets(n: int, load_factor: float = 0.8) -> int:
+    return _next_pow2(max(2, int(np.ceil(n / (BUCKET_SLOTS * load_factor)))))
+
+
 def build_table(
     kmers_u64: np.ndarray,
     counts: np.ndarray,
@@ -120,18 +138,10 @@ def build_table(
     n = kmers_u64.shape[0]
     hi, lo = split_hi_lo(kmers_u64, k)
 
-    nb = _next_pow2(max(2, int(np.ceil(n / (BUCKET_SLOTS * load_factor)))))
+    nb = suggest_buckets(n, load_factor)
     while True:
-        from ..native import build_table_native
-
-        table = build_table_native(hi, lo, counts, nb, slots=BUCKET_SLOTS)
-        if table is None:
-            table = _try_build(hi, lo, counts, nb)
-        if table is not None:
-            t_hi, t_lo, t_cnt = table
-            tbl = np.ascontiguousarray(
-                np.concatenate([t_hi, t_lo, t_cnt], axis=1)
-            )
+        tbl = build_fixed(hi, lo, counts, nb)
+        if tbl is not None:
             Logger.info(
                 _CLASS,
                 f"Built table: {n} keys, {nb} buckets x {BUCKET_SLOTS} "
@@ -141,6 +151,58 @@ def build_table(
             return KmerTable(tbl, k, n, both_strands)
         nb *= 2
         Logger.warning(_CLASS, f"Hash table overflow; growing to {nb} buckets")
+
+
+def build_table_sharded(
+    kmers_u64: np.ndarray,
+    counts: np.ndarray,
+    k: int,
+    t_axis: int,
+    load_factor: float = 0.8,
+    both_strands: bool = True,
+) -> KmerTable:
+    """In-RAM analog of the streaming loader's placement: keys are
+    routed to the shard owning the top bits of their first bucket hash
+    and placed two-choice WITHIN that shard (parallel/sharded.py
+    lookup scheme). Every shard keeps the same local bucket count so
+    the concatenated table shards evenly across the mesh's table axis."""
+    kmers_u64 = np.asarray(kmers_u64, np.uint64)
+    counts = np.asarray(counts, np.uint32)
+    hi, lo = split_hi_lo(kmers_u64, k)
+    return build_sharded_hilo(hi, lo, counts, k, t_axis,
+                              load_factor=load_factor,
+                              both_strands=both_strands)
+
+
+def build_sharded_hilo(hi, lo, counts, k, t_axis, load_factor=0.8,
+                       both_strands=True, nb_total=None):
+    n = hi.shape[0]
+    if nb_total is None:
+        nb_total = max(suggest_buckets(n, load_factor), t_axis * 2)
+    while True:
+        nb_local = nb_total // t_axis
+        h1, _h2 = bucket_hashes_np(hi, lo, nb_total)
+        shard = (h1 // np.uint32(nb_local)).astype(np.int64)
+        parts = []
+        for s in range(t_axis):
+            sel = shard == s
+            part = build_fixed(hi[sel], lo[sel], counts[sel], nb_local)
+            if part is None:
+                parts = None
+                break
+            parts.append(part)
+        if parts is not None:
+            tbl = np.concatenate(parts, axis=0)
+            Logger.info(
+                _CLASS,
+                f"Built sharded table: {n} keys, {t_axis} shards x "
+                f"{nb_local} buckets ({tbl.nbytes / 1e6:.1f} MB)",
+            )
+            return KmerTable(tbl, k, n, both_strands)
+        nb_total *= 2
+        Logger.warning(
+            _CLASS, f"Shard overflow; growing to {nb_total} buckets"
+        )
 
 
 def _try_build(hi, lo, counts, nb):

@@ -87,14 +87,114 @@ def kmer_signatures(kmers: np.ndarray, k: int, sig_len: int, norm=None) -> np.nd
 
 
 class KMCReader:
-    """Decode a KMC3 database into flat (kmer64, count) arrays."""
+    """Decode a KMC3 database into flat (kmer64, count) arrays.
 
-    def __init__(self, db_prefix: str):
+    ``materialize=False`` reads only the prefix file (header, signature
+    map, LUT bounds) and exposes the records through ``iter_slabs()``
+    instead of decoding everything into RAM - the low-memory analog of
+    the reference's default mmap mode (Data/KMC.java:84-102), used by
+    the streaming sharded-table loader (parallel/loader.py) and the
+    no---memory merge path so wheat-scale databases never need to fit
+    one host."""
+
+    def __init__(self, db_prefix: str, materialize: bool = True):
         self.prefix_file = db_prefix + ".kmc_pre"
         self.suffix_file = db_prefix + ".kmc_suf"
         self._read_prefix_file()
-        self._read_records()
+        self.kmers = None
+        self.counts = None
+        if materialize:
+            self._read_records()
         self.print_summary()
+
+    def iter_slabs(self, slab_records: int | None = None):
+        """Yield (kmers, counts) per slab in KMC record order without
+        materializing the table: kmers is uint64 (k <= 32), an (hi, lo)
+        uint64 pair (33..64), or S{nb} byte records (k > 64); counts is
+        uint32. Each canonical k-mer appears in exactly one slab."""
+        from ..native import decode_kmc_records, get_lib, wide
+
+        slab = slab_records or self._SLAB_RECORDS
+        suf_bytes = self.suffix_length // 4
+        rec = suf_bytes + self.counter_size
+        n = self.total_kmers
+        lut_size = 1 << (2 * self.lut_prefix_length)
+        bounds_all = np.append(self.prefix_array, np.uint64(n))
+        if self.mlimb:
+            from ..engine.encode_mlimb import n_bytes
+
+            nb = n_bytes(self.kmer_length)
+            p_bytes = nb - suf_bytes
+            per_bin = np.diff(bounds_all.astype(np.int64))
+            prefixes_all = np.repeat(
+                np.arange(len(self.prefix_array), dtype=np.int64) % lut_size,
+                per_bin,
+            ).astype(np.uint64)
+        with open(self.suffix_file, "rb") as fh:
+            fh.seek(4)
+            done = 0
+            while done < n:
+                m = min(slab, n - done)
+                raw = np.fromfile(fh, dtype=np.uint8, count=m * rec)
+                if raw.shape[0] < m * rec:
+                    Logger.error(
+                        _CLASS, f"Truncated suffix file: {self.suffix_file}"
+                    )
+                if self.mlimb:
+                    raw = raw.reshape(m, rec)
+                    keymat = np.empty((m, nb), np.uint8)
+                    keymat[:, p_bytes:] = raw[:, :suf_bytes]
+                    pv = prefixes_all[done : done + m]
+                    for j in range(p_bytes):
+                        shift = np.uint64(8 * (p_bytes - 1 - j))
+                        keymat[:, j] = (
+                            (pv >> shift) & np.uint64(0xFF)
+                        ).astype(np.uint8)
+                    cnt = np.zeros(m, np.uint32)
+                    for j in range(self.counter_size):
+                        cnt |= raw[:, suf_bytes + j].astype(
+                            np.uint32
+                        ) << np.uint32(8 * j)
+                    yield keymat.view(f"S{nb}").ravel(), cnt
+                elif self.wide:
+                    sh, sl, sc = wide.decode_kmc_records(
+                        raw, m, suf_bytes, self.counter_size, bounds_all,
+                        lut_size, self.suffix_length, rec_offset=done,
+                    )
+                    yield (sh, sl), sc
+                else:
+                    part = decode_kmc_records(
+                        raw, m, suf_bytes, self.counter_size, bounds_all,
+                        lut_size, self.suffix_length, rec_offset=done,
+                    )
+                    if part is None:  # no native library
+                        part = self._decode_slab_numpy(
+                            raw, m, rec, suf_bytes, bounds_all, lut_size,
+                            done,
+                        )
+                    yield part[0], part[1]
+                done += m
+
+    def _decode_slab_numpy(self, raw, m, rec, suf_bytes, bounds_all,
+                           lut_size, done):
+        raw = raw.reshape(m, rec)
+        suffix = np.zeros(m, dtype=np.uint64)
+        for j in range(suf_bytes):
+            suffix = (suffix << np.uint64(8)) | raw[:, j].astype(np.uint64)
+        counts = np.zeros(m, dtype=np.uint32)
+        for j in range(self.counter_size):
+            counts |= raw[:, suf_bytes + j].astype(np.uint32) << np.uint32(
+                8 * j
+            )
+        per_bin = np.diff(bounds_all.astype(np.int64))
+        prefixes_all = np.repeat(
+            np.arange(len(self.prefix_array), dtype=np.int64) % lut_size,
+            per_bin,
+        ).astype(np.uint64)[done : done + m]
+        return (
+            (prefixes_all << np.uint64(2 * self.suffix_length)) | suffix,
+            counts,
+        )
 
     def _read_prefix_file(self):
         size = os.path.getsize(self.prefix_file)

@@ -1,0 +1,187 @@
+"""Streaming KMC -> sharded device hash table loader.
+
+The wheat-scale story (BASELINE.md: 15 Gbp / ~10^10 k-mers, a table of
+120+ GB) cannot materialize the k-mer table on one host. This loader
+streams the ``.kmc_suf`` records in bounded slabs, routes each key to
+the shard owning the top bits of its first bucket hash (the shard-local
+placement scheme of parallel/sharded.py), builds each shard's
+two-choice table independently, and places it directly on its owning
+device(s) - so host RAM is bounded by
+
+    slab bytes + (shards staged per pass) * (keys-per-shard bytes)
+
+regardless of the total table size. When the budget holds fewer shards
+than the mesh's table axis, the loader makes several passes over the
+file, staging a subset of shards per pass (keys outside the pass are
+discarded on the fly).
+
+Multi-host: every process runs the same loader but stages ONLY the
+shards owned by its addressable devices (``jax.process_index``); the
+global table array is assembled with
+``jax.make_array_from_single_device_arrays``, the multi-host-native
+construction - no host ever sees another host's shards. Under
+``jax.distributed`` each host therefore holds table_bytes/n_hosts at
+peak, which is what makes the 15 Gbp ladder config loadable at all.
+
+The reference's analog is the mmap low-memory mode
+(Data/KMC.java:84-102,173-189): never materialize, pay per-query IO.
+Here the table still materializes - but in aggregate device HBM across
+the mesh, with bounded host staging.
+"""
+
+import numpy as np
+
+from .. import jaxinit  # noqa: F401
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..engine.encode import split_hi_lo
+from ..engine.hashtable import (
+    BUCKET_SLOTS,
+    bucket_hashes_np,
+    build_fixed,
+    suggest_buckets,
+)
+from ..io.kmc import KMCReader
+from ..utils.logger import Logger
+
+_CLASS = "ShardedTableLoader"
+
+
+class ShardedTableLoader:
+    """Stream a KMC database into a table-axis-sharded device array.
+
+    Usage:
+        loader = ShardedTableLoader(db_prefix, mesh,
+                                    ram_budget_bytes=2 << 30)
+        scorer = loader.load_scorer(min_count=1)
+    """
+
+    def __init__(self, db_prefix, mesh, ram_budget_bytes=None,
+                 load_factor: float = 0.8, slab_records=None):
+        self.db_prefix = db_prefix
+        self.mesh = mesh
+        self.load_factor = float(load_factor)
+        self.ram_budget = ram_budget_bytes
+        self.slab_records = slab_records
+        self.reader = KMCReader(db_prefix, materialize=False)
+        if self.reader.kmer_length > 32:
+            Logger.error(
+                _CLASS,
+                "sharded device tables support k <= 32 "
+                f"(DB has k={self.reader.kmer_length})",
+            )
+
+    # -- planning -------------------------------------------------------------
+
+    def _plan(self, nb_total):
+        t_axis = self.mesh.shape["table"]
+        nb_local = nb_total // t_axis
+        n = self.reader.total_kmers
+        # staged bytes per shard: keys routed to it (hi+lo+cnt u32 x3)
+        # plus its built table
+        per_shard = (n // t_axis + 1) * 12 + nb_local * BUCKET_SLOTS * 12
+        if self.ram_budget:
+            shards_per_pass = max(1, int(self.ram_budget // max(per_shard, 1)))
+        else:
+            shards_per_pass = t_axis
+        return t_axis, nb_local, shards_per_pass
+
+    def _my_shards(self, t_axis):
+        """Table-shard ids owned by THIS process, and the devices that
+        must hold each (the table is replicated along 'data')."""
+        pidx = jax.process_index()
+        mine = {}
+        devs = self.mesh.devices  # (data, table) ndarray of devices
+        for ti in range(t_axis):
+            holders = [
+                d for d in devs[:, ti].tolist() if d.process_index == pidx
+            ]
+            if holders:
+                mine[ti] = holders
+        return mine
+
+    # -- loading --------------------------------------------------------------
+
+    def load(self, nb_total=None):
+        """Returns (global device array (nb_total, 3*S), nb_total)."""
+        n = self.reader.total_kmers
+        t_axis = self.mesh.shape["table"]
+        if nb_total is None:
+            nb_total = max(
+                suggest_buckets(n, self.load_factor), t_axis * 2
+            )
+        while True:
+            out = self._load_once(nb_total)
+            if out is not None:
+                return out, nb_total
+            nb_total *= 2
+            Logger.warning(
+                _CLASS, f"Shard overflow; growing to {nb_total} buckets"
+            )
+
+    def _load_once(self, nb_total):
+        k = self.reader.kmer_length
+        t_axis, nb_local, per_pass = self._plan(nb_total)
+        mine = self._my_shards(t_axis)
+        shard_ids = sorted(mine)
+        n_passes = max(1, -(-len(shard_ids) // per_pass))
+        Logger.info(
+            _CLASS,
+            f"Streaming {self.reader.total_kmers} k-mers into "
+            f"{t_axis} shards x {nb_local} buckets "
+            f"({len(shard_ids)} local shards, {n_passes} pass(es))",
+        )
+        tspec = NamedSharding(self.mesh, P("table", None))
+        shard_bufs = {}  # shard id -> list of per-device jax arrays
+        for pi in range(n_passes):
+            want = set(shard_ids[pi * per_pass : (pi + 1) * per_pass])
+            staged = {s: [] for s in want}
+            for kmers, counts in self.reader.iter_slabs(self.slab_records):
+                hi, lo = split_hi_lo(np.asarray(kmers, np.uint64), k)
+                h1, _ = bucket_hashes_np(hi, lo, nb_total)
+                shard = h1 // np.uint32(nb_local)
+                for s in want:
+                    sel = shard == s
+                    if sel.any():
+                        staged[s].append(
+                            (hi[sel], lo[sel], counts[sel].astype(np.uint32))
+                        )
+            for s in want:
+                if staged[s]:
+                    shi = np.concatenate([p[0] for p in staged[s]])
+                    slo = np.concatenate([p[1] for p in staged[s]])
+                    scn = np.concatenate([p[2] for p in staged[s]])
+                else:
+                    shi = slo = scn = np.empty(0, np.uint32)
+                part = build_fixed(shi, slo, scn, nb_local)
+                staged[s] = None  # free staging before device_put
+                if part is None:
+                    return None  # overflow -> caller grows nb_total
+                shard_bufs[s] = [
+                    jax.device_put(part, d) for d in mine[s]
+                ]
+        # assemble the global array from per-device shards (multi-host
+        # native: every process contributes only its local shards)
+        arrays = []
+        for buflist in shard_bufs.values():
+            arrays.extend(buflist)
+        S3 = arrays[0].shape[1] if arrays else 3 * BUCKET_SLOTS
+        global_arr = jax.make_array_from_single_device_arrays(
+            (nb_total, S3), tspec, arrays
+        )
+        return global_arr
+
+    def load_scorer(self, min_count: int = 1):
+        """Build a ShardedWindowScorer directly over the streamed table."""
+        from .sharded import ShardedWindowScorer
+
+        tbl, nb_total = self.load()
+        return ShardedWindowScorer.from_device_table(
+            tbl,
+            nb_total,
+            self.mesh,
+            k=self.reader.kmer_length,
+            both_strands=self.reader.both_strands,
+            min_count=min_count,
+        )

@@ -34,14 +34,26 @@ def _sharded_lookup(hi, lo, tbl, nb_total, axis="table"):
     """Lookup against the local bucket shard; caller psums over `axis`.
 
     tbl is the local shard (nb_local, 3*S) of the interleaved table,
-    holding global buckets [shard*nb_local, (shard+1)*nb_local)."""
+    holding global buckets [shard*nb_local, (shard+1)*nb_local).
+
+    Placement is SHARD-LOCAL: a key's owning shard is the top bits of
+    its first bucket hash, and both candidate buckets live inside that
+    shard (second choice = own-shard base | low bits of the second
+    hash). This is exactly the single-device two-choice scheme when the
+    table axis is 1, and it lets shards be built - and streamed from
+    disk - independently, which is what makes bounded-RAM multi-host
+    ingest possible (see parallel/loader.py)."""
     nb_local = tbl.shape[0]
     S = tbl.shape[1] // 3
+    lm = jnp.uint32(nb_local - 1)
     my = jax.lax.axis_index(axis)
     base = my.astype(jnp.uint32) * jnp.uint32(nb_local)
     h1, h2 = bucket_hashes_jnp(hi, lo, nb_total)
+    key_base = h1 & ~lm  # owning shard's first global bucket
+    b1 = h1
+    b2 = key_base | (h2 & lm)
     out = jnp.zeros(hi.shape, jnp.uint32)
-    for b, dedup in ((h1, None), (h2, h2 != h1)):
+    for b, dedup in ((b1, None), (b2, b2 != b1)):
         local = b - base
         owned = local < jnp.uint32(nb_local)  # uint wrap makes this a range test
         safe = jnp.where(owned, local, 0).astype(jnp.int32)
@@ -101,6 +113,20 @@ def make_sharded_scorer(mesh, *, k, min_count, both_strands, nb_total):
     return jax.jit(mapped)
 
 
+def _reshard_table(table, t_axis):
+    """Rebuild a host KmerTable with shard-local placement (idempotent:
+    entries already placed shard-locally land in the same shards)."""
+    from ..engine.hashtable import build_sharded_hilo
+
+    live = table.counts != 0
+    rows, cols = np.nonzero(live)
+    return build_sharded_hilo(
+        table.hi[rows, cols], table.lo[rows, cols],
+        table.counts[rows, cols], table.k, t_axis,
+        both_strands=table.both_strands,
+    )
+
+
 class ShardedWindowScorer:
     """Device-mesh version of engine.pipeline.WindowScorer."""
 
@@ -112,6 +138,12 @@ class ShardedWindowScorer:
         self.data_parallel = mesh.shape["data"]
         tspec = NamedSharding(mesh, P("table", None))
         t_axis = mesh.shape["table"]
+        if t_axis > 1:
+            # re-place entries shard-locally so every key's two candidate
+            # buckets live on the shard owning its first hash (the
+            # lookup scheme above); a table built by build_table_sharded
+            # or the streaming loader already satisfies this
+            table = _reshard_table(table, t_axis)
         nb = table.n_buckets
         # the bucket-ownership arithmetic needs the power-of-two bucket
         # count split evenly across the table axis
@@ -122,6 +154,26 @@ class ShardedWindowScorer:
         self._fns = {}
         self._dspec = NamedSharding(mesh, P("data", None))
         self._dspec1 = NamedSharding(mesh, P("data"))
+
+    @classmethod
+    def from_device_table(cls, tbl_device, nb_total, mesh, *, k,
+                          both_strands, min_count: int = 1):
+        """Wrap an already-sharded device table (streaming loader path:
+        parallel/loader.py) without any host-side copy."""
+        self = cls.__new__(cls)
+        self.k = int(k)
+        self.min_count = int(min_count)
+        self.both_strands = bool(both_strands)
+        self.mesh = mesh
+        self.data_parallel = mesh.shape["data"]
+        if nb_total % mesh.shape["table"]:
+            raise ValueError("table axis must divide bucket count")
+        self.nb_total = int(nb_total)
+        self.tbl = tbl_device
+        self._fns = {}
+        self._dspec = NamedSharding(mesh, P("data", None))
+        self._dspec1 = NamedSharding(mesh, P("data"))
+        return self
 
     def _fn(self, Lp):
         if Lp not in self._fns:

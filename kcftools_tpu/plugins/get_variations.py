@@ -89,7 +89,13 @@ def add_parser(subparsers):
         "-m",
         "--memory",
         action="store_true",
-        help="Load KMC database into memory (always on in this implementation)",
+        help="Materialize the KMC database in host RAM before merging "
+        "(faster for small DBs). Without it the database is STREAMED in "
+        "bounded slabs - per-sample host memory stays flat no matter "
+        "how large the table is, and the multi-chip device engine "
+        "streams shards straight onto the mesh (parallel/loader.py); "
+        "the analog of the reference's mmap low-memory default "
+        "(Data/KMC.java:84-102)",
     )
     p.add_argument("--wi", type=float, default=0.3, help="Inner kmer distance weight")
     p.add_argument("--wt", type=float, default=0.3, help="Tail kmer distance weight")
@@ -141,12 +147,49 @@ def _validate(args):
         Logger.error(_CLASS, "Minimum kmer count should be at least 1")
 
 
+def _resolve_engine(args):
+    """Pick a concrete engine for --engine auto.
+
+    On a single-accelerator (or accelerator-less) host the AVX-512
+    host path wins, so auto avoids even starting the JAX runtime. On a
+    multi-chip host the genome is sharded across all visible chips by
+    the device engine (the thread-pool analog of
+    GetVariants.java:129-159 at chip granularity), so auto probes
+    jax.device_count() and switches to 'dprefix' when it is > 1.
+    KCFTOOLS_ENGINE overrides; KCFTOOLS_NO_DEVICE_PROBE=1 skips the
+    probe (and its runtime startup cost) entirely."""
+    env = os.environ.get("KCFTOOLS_ENGINE")
+    if env:
+        return env
+    if args.engine != "auto":
+        return args.engine
+    if args.feature != "window":
+        return "hybrid"
+    if os.environ.get("KCFTOOLS_NO_DEVICE_PROBE"):
+        return "hybrid"
+    try:
+        import jax
+
+        n_dev = jax.device_count()
+    except Exception:
+        return "hybrid"
+    if n_dev > 1:
+        Logger.info(
+            _CLASS,
+            f"auto engine: {n_dev} accelerators visible -> device engine "
+            "(genome sharded across chips)",
+        )
+        return "dprefix"
+    return "hybrid"
+
+
 def run(args):
     """Single- or multi-sample screening. Multi-sample (-k a,b,c
     -s sa,sb,sc) amortizes the FASTA/GTF parse and the reference k-mer
     index across all samples - the per-sample work is one KMC ingest +
     one merge join + window statistics."""
     _validate(args)
+    args.engine = _resolve_engine(args)
     # size the native worker pool from -t, like the reference's
     # per-window thread pool (GetVariants.java:129)
     set_threads(args.threads)
@@ -177,7 +220,7 @@ def run(args):
         independent, so sample i+1 ingests on a background thread while
         sample i is scored and written (the IO analog of the
         reference's thread pool over windows)."""
-        kmc = KMCReader(db_prefix)
+        kmc = KMCReader(db_prefix, materialize=bool(args.memory))
         k = kmc.kmer_length
         if args.feature == "window":
             uh = args.engine in ("auto", "hybrid", "dprefix")
@@ -187,7 +230,7 @@ def run(args):
             # --engine device keeps the on-chip hash pipeline (k <= 32)
             uh = args.engine in ("auto", "hybrid")
         db_sorted = None
-        if uh:
+        if uh and args.memory:
             db_sorted = _sort_db(kmc, k)
         return kmc, uh, db_sorted
 
@@ -241,12 +284,51 @@ def run(args):
                     )
         _run_one_sample(
             args, index, gtf, refidx, kmc, k, sample, out_path, use_hybrid,
-            plan, dscorer, db_sorted,
+            plan, dscorer, db_sorted, db_prefix,
         )
     if pool is not None:
         pool.shutdown(wait=False)
     if dscorer is not None:
         dscorer.close()
+
+
+def _merge_streamed(kmc, ref_keys, k):
+    """Low-memory merge: stream KMC slabs (bounded RAM), sort each slab
+    and fold its merge join into one u8 pack. Every canonical k-mer
+    lives in exactly one slab, so a per-element maximum across slab
+    merges reconstructs the exact full-table merge. Host peak memory is
+    one slab + the u8 pack, independent of database size - the analog
+    of the reference's mmap mode (Data/KMC.java:84-102)."""
+    n_ref = ref_keys[0].shape[0] if isinstance(ref_keys, tuple) else \
+        ref_keys.shape[0]
+    out = np.zeros(n_ref, np.uint8)
+    tmp = np.empty(n_ref, np.uint8)
+    exc_i, exc_v = [], []
+    for keys, counts in kmc.iter_slabs():
+        if k > 64:
+            order = np.argsort(keys)
+            ks, cs = keys[order], counts[order].astype(np.uint32)
+        elif k > 32:
+            from ..native import wide
+
+            kh, kl, cs = wide.sort_unique(keys[0], keys[1], counts)
+            ks, cs = (kh, kl), cs.astype(np.uint32)
+        else:
+            ks, cs = sort_pairs(keys, counts)
+        u8, ei, ev = merge_counts_u8(ref_keys, ks, cs, out=tmp)
+        np.maximum(out, u8, out=out)
+        if ei.size:
+            exc_i.append(ei)
+            exc_v.append(ev)
+    if exc_i:
+        ei = np.concatenate(exc_i)
+        ev = np.concatenate(exc_v)
+        order = np.argsort(ei)  # the scan binary-searches exc_idx
+        ei, ev = ei[order], ev[order]
+    else:
+        ei = np.empty(0, np.int32)
+        ev = np.empty(0, np.uint32)
+    return out, ei, ev
 
 
 def _sort_db(kmc, k):
@@ -292,14 +374,14 @@ def _build_window_plan(args, index, refidx, k):
     return plan
 
 
-def _make_scorer(args, kmc, k):
+def _make_scorer(args, kmc, k, db_prefix=None):
     import jax
 
     from ..engine.hashtable import build_table
     from ..engine.pipeline import WindowScorer
 
-    table = build_table(kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands)
     n_dev = jax.device_count()
+    est_table = kmc.total_kmers * 15  # keys+counts at the default load
     if n_dev > 1:
         # shard window batches across all chips (the thread-pool analog);
         # add a table axis when the table outgrows a single chip's memory
@@ -307,9 +389,9 @@ def _make_scorer(args, kmc, k):
         from ..parallel.sharded import ShardedWindowScorer
 
         table_axis = 1
-        if table.nbytes > 4 << 30:
+        if est_table > 4 << 30:
             table_axis = 2
-            while table.nbytes // table_axis > 4 << 30 and table_axis < n_dev:
+            while est_table // table_axis > 4 << 30 and table_axis < n_dev:
                 table_axis *= 2
         while n_dev % table_axis:
             table_axis //= 2
@@ -319,25 +401,65 @@ def _make_scorer(args, kmc, k):
             f"Using {n_dev} devices: mesh data={n_dev // table_axis} "
             f"table={table_axis}",
         )
+        if not args.memory and db_prefix is not None:
+            # low-memory mode: stream KMC slabs straight into per-shard
+            # device tables; host RAM stays bounded no matter the table
+            # size (wheat-scale path, parallel/loader.py)
+            from ..parallel.loader import ShardedTableLoader
+
+            budget = int(
+                os.environ.get("KCFTOOLS_RAM_BUDGET", str(8 << 30))
+            )
+            loader = ShardedTableLoader(
+                db_prefix, mesh, ram_budget_bytes=budget
+            )
+            return loader.load_scorer(min_count=args.min_k_count)
+        if kmc.kmers is None:
+            kmc._read_records()
+        table = build_table(
+            kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands
+        )
         return ShardedWindowScorer(table, mesh, min_count=args.min_k_count)
+    if kmc.kmers is None:
+        kmc._read_records()
+    table = build_table(
+        kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands
+    )
     return WindowScorer(table, min_count=args.min_k_count)
 
 
 def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
-                    use_hybrid, plan=None, dscorer=None, db_sorted=None):
+                    use_hybrid, plan=None, dscorer=None, db_sorted=None,
+                    db_prefix=None):
     counts_r = None
     u8_pack = None
     if use_hybrid:
         scorer = None
-        if db_sorted is None:
-            db_sorted = _sort_db(kmc, k)
-        db_keys, dbc = db_sorted
         ref_keys = (
             (refidx.kmers_hi, refidx.kmers_lo)
             if 32 < k <= 64
             else refidx.kmers
         )
-        if dscorer is not None:
+        if db_sorted is None:
+            # low-memory mode: stream the database in bounded slabs
+            # and fold each slab's merge into one u8 pack
+            u8_pack = _merge_streamed(kmc, ref_keys, k)
+            if dscorer is not None:
+                dscorer.set_sample_counts(*u8_pack)
+                u8_pack = None
+            elif get_lib() is None:
+                # no native scan: widen (exceptions carry exact values)
+                # for the numpy prefix engine
+                u8, ei, ev = u8_pack
+                counts_r = u8.astype(np.uint32)
+                counts_r[ei] = ev
+                u8_pack = None
+            db_keys = dbc = None
+        else:
+            db_keys, dbc = db_sorted
+        if db_keys is None:
+            pass  # streamed above
+        elif dscorer is not None:
             dscorer.merge_and_upload(ref_keys, db_keys, dbc)
         elif k > 64:
             # byte-record merge is numpy either way; the native window
@@ -360,7 +482,7 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
         else:
             counts_r = merge_counts(ref_keys, db_keys, dbc)
     else:
-        scorer = _make_scorer(args, kmc, k)
+        scorer = _make_scorer(args, kmc, k, db_prefix)
 
     header = KCFHeader()
     header.reference = args.reference

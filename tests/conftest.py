@@ -10,6 +10,10 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# keep --engine auto on the host path by default so the e2e net stays
+# fast; dedicated multichip tests opt back in by clearing this
+os.environ.setdefault("KCFTOOLS_NO_DEVICE_PROBE", "1")
+
 import jax  # noqa: E402
 
 # sitecustomize may have imported jax already (freezing env-derived
