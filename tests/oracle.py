@@ -112,3 +112,72 @@ def count_db(seqs, k, both_strands=True, min_count=1):
             key = canonical(km) if both_strands else km
             db[key] = db.get(key, 0) + 1
     return {km: c for km, c in db.items() if c >= min_count}
+
+
+def find_ibs_summary(windows_in_order, samples):
+    """Naive findIBS --summary math (reference FindIBS.java:175-272).
+
+    windows_in_order: [(chrom, start, end, {sample: (ib, score)})] in the
+    OUTPUT KCF's window order (the reference iterates chromosomes in its
+    HashMap order; taking the output order makes this oracle independent
+    of that emulation). Returns one row dict per (block, sample), in the
+    reference's emission order: all blocks of sample 1, then sample 2...
+
+    Semantics: per sample, blocks keyed by IB value in first-seen order;
+    below-cutoff (IB == -1) windows buffer and attach to the next
+    window's block only if that block already exists - otherwise they
+    are dropped; trailing buffered windows are dropped. Mean score and
+    proportion accumulate in float32 like the Java code.
+    """
+    import numpy as np
+
+    rows = []
+    for sample in samples:
+        blocks = {}  # ib -> list of (chrom, start, end, score)
+        order = []
+        # the reference restarts the NA buffer per chromosome
+        by_chrom = {}
+        chrom_order = []
+        for chrom, start, end, per in windows_in_order:
+            if chrom not in by_chrom:
+                by_chrom[chrom] = []
+                chrom_order.append(chrom)
+            by_chrom[chrom].append((chrom, start, end) + per[sample])
+        for chrom in chrom_order:
+            na = []
+            for cw in by_chrom[chrom]:
+                chrom_, start, end, ib, score = cw
+                if ib == -1:
+                    na.append((chrom_, start, end, ib, score))
+                    continue
+                if ib in blocks:
+                    blocks[ib].extend(na)
+                    blocks[ib].append((chrom_, start, end, ib, score))
+                else:
+                    blocks[ib] = [(chrom_, start, end, ib, score)]
+                    order.append(ib)
+                na.clear()
+        for ib in order:
+            blk = blocks[ib]
+            total = len(blk)
+            ibs_n = sum(1 for w in blk if w[3] != -1)
+            mean = np.float32(0.0)
+            for w in blk:
+                mean += np.float32(w[4])
+            mean = np.float32(mean / np.float32(total))
+            prop = np.float32(ibs_n) / np.float32(total)
+            rows.append(
+                {
+                    "Block": ib,
+                    "Sample": sample,
+                    "Chromosome": blk[0][0],
+                    "Start": blk[0][1],
+                    "End": blk[-1][2],
+                    "Length": blk[-1][2] - blk[0][1],
+                    "TotalBlocks": total,
+                    "IBSBlocks": ibs_n,
+                    "IBSProportion": float(prop),
+                    "MeanScore": float(mean),
+                }
+            )
+    return rows
