@@ -65,6 +65,27 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+_SCAN_BLK = 512  # slab padding granule (keeps reshape-based scans legal)
+
+
+def _cumsum(x):
+    import jax.numpy as jnp
+
+    return jnp.cumsum(x)
+
+
+def _cummax(x):
+    import jax
+
+    return jax.lax.cummax(x)
+
+
+def _cummin_rev(x):
+    import jax
+
+    return jax.lax.cummin(x, reverse=True)
+
+
 def _score_batch(bits, cs_tot, w_start, w_hi, *, k: int):
     """Score S samples over one slab.
 
@@ -93,26 +114,22 @@ def _score_batch(bits, cs_tot, w_start, w_hi, *, k: int):
         shifted = jnp.concatenate(
             [jnp.full((1,), -1, jnp.int32), pres_ord[:-1]]
         )
-        prev_ord = jax.lax.cummax(shifted)
-        next_ge = jax.lax.cummin(
-            jnp.where(pr, pos, jnp.int32(n)), reverse=True
-        )
-        last_le = jax.lax.cummax(jnp.where(pr, pos, jnp.int32(-1)))
+        prev_ord = _cummax(shifted)
+        next_ge = _cummin_rev(jnp.where(pr, pos, jnp.int32(n)))
+        last_le = _cummax(jnp.where(pr, pos, jnp.int32(-1)))
 
-        cs_obs = jnp.concatenate(
-            [zero32, jnp.cumsum(pr.astype(jnp.int32))]
-        )
+        cs_obs = jnp.concatenate([zero32, _cumsum(pr.astype(jnp.int32))])
         gap = vidx - prev_ord - 1
         closed = pr & (prev_ord >= 0) & (gap > 0)
         d = gap - (k - 1)
         dist = jnp.where(d > 0, d, jnp.abs(d + 1))
         cs_var = jnp.concatenate(
-            [zero32, jnp.cumsum(closed.astype(jnp.int32))]
+            [zero32, _cumsum(closed.astype(jnp.int32))]
         )
         # uint32 modular prefix; per-window diffs are exact (< 2^31)
         cs_dist = jnp.concatenate(
             [zero32.astype(jnp.uint32),
-             jnp.cumsum(jnp.where(closed, dist, 0).astype(jnp.uint32))]
+             _cumsum(jnp.where(closed, dist, 0).astype(jnp.uint32))]
         )
 
         observed = cs_obs[hi + 1] - cs_obs[s]
@@ -273,7 +290,7 @@ class _Layout:
         )
         maxw = max(sum(len(s["w_start"]) for s in g) for g in groups)
         pos_pad = _round_up(
-            maxp, _POS_BUCKET if maxp >= _POS_BUCKET else _SEG_ALIGN
+            maxp, _POS_BUCKET if maxp >= _POS_BUCKET else _SCAN_BLK
         )
         win_pad = _round_up(maxw, _WIN_BUCKET if maxw >= _WIN_BUCKET else 64)
         self.pos_pad = pos_pad

@@ -242,6 +242,17 @@ def run(args):
     refidx = None
     plan = None
     dscorer = None
+    group = []  # device-engine samples submitted but not yet written
+
+    def _flush_group():
+        for key, g_kmc, g_k, g_sample, g_out in group:
+            _run_one_sample(
+                args, index, gtf, refidx, g_kmc, g_k, g_sample, g_out,
+                True, plan, dscorer, None, None, dkey=key,
+            )
+            dscorer.discard(key)
+        group.clear()
+
     for i, (db_prefix, sample, out_path) in enumerate(
         zip(kmc_list, samples, outputs)
     ):
@@ -261,6 +272,8 @@ def run(args):
         if use_hybrid and (
             refidx is None or refidx.k != k or refidx.canonical != kmc.both_strands
         ):
+            if group:
+                _flush_group()  # a k change invalidates the device state
             if args.feature == "window":
                 refidx = RefKmerIndex.load_or_build(
                     args.reference, index, k, canonical=kmc.both_strands
@@ -282,14 +295,38 @@ def run(args):
                     dscorer.add_chrom(
                         name, refidx.chrom_r_idx[name], pl["starts"], pl["ends"]
                     )
+        if dscorer is not None:
+            # batch several samples per device dispatch: submit now,
+            # assemble + write once the batch fills (amortizes the
+            # dispatch round trip across samples)
+            _submit_sample(args, refidx, kmc, k, db_sorted, dscorer, i)
+            group.append((i, kmc, k, sample, out_path))
+            if len(group) >= dscorer.batch:
+                _flush_group()
+            continue
         _run_one_sample(
             args, index, gtf, refidx, kmc, k, sample, out_path, use_hybrid,
             plan, dscorer, db_sorted, db_prefix,
         )
+    if group:
+        _flush_group()
     if pool is not None:
         pool.shutdown(wait=False)
     if dscorer is not None:
         dscorer.close()
+
+
+def _submit_sample(args, refidx, kmc, k, db_sorted, dscorer, key):
+    """Device engine: merge one sample and enqueue it under ``key``."""
+    ref_keys = (
+        (refidx.kmers_hi, refidx.kmers_lo) if 32 < k <= 64 else refidx.kmers
+    )
+    if db_sorted is None:  # low-memory: streamed slab merge
+        u8, ei, ev = _merge_streamed(kmc, ref_keys, k)
+        dscorer.submit_counts(key, u8, ei, ev)
+    else:
+        db_keys, dbc = db_sorted
+        dscorer.submit(key, ref_keys, db_keys, dbc)
 
 
 def _merge_streamed(kmc, ref_keys, k):
@@ -430,10 +467,14 @@ def _make_scorer(args, kmc, k, db_prefix=None):
 
 def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
                     use_hybrid, plan=None, dscorer=None, db_sorted=None,
-                    db_prefix=None):
+                    db_prefix=None, dkey=None):
     counts_r = None
     u8_pack = None
-    if use_hybrid:
+    if dkey is not None:
+        # device engine, batched flow: the sample was already merged and
+        # submitted under dkey; only assembly + writing remain
+        scorer = None
+    elif use_hybrid:
         scorer = None
         ref_keys = (
             (refidx.kmers_hi, refidx.kmers_lo)
@@ -505,6 +546,7 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
                 block = _score_fixed_windows_hybrid(
                     args, index, refidx, counts_r, name, k, sample,
                     plan=plan, u8_pack=u8_pack, dscorer=dscorer,
+                    dkey=dkey,
                 )
             else:
                 block = _score_fixed_windows(args, index, name, k, scorer, sample)
@@ -652,7 +694,7 @@ def _score_fixed_windows_batched(
 
 def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k,
                                 sample, plan=None, u8_pack=None,
-                                dscorer=None):
+                                dscorer=None, dkey=None):
     """Hybrid engine. Default path: the fused native scan - per-window
     gap-run state machine replayed directly over the cached per-position
     index with counts gathered from the u8 merge output; static fields
@@ -676,7 +718,11 @@ def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k,
 
     r_idx = refidx.chrom_r_idx[name]  # (L-k+1,)
     if dscorer is not None:
-        res = dscorer.score_chrom(name)
+        res = (
+            dict(dscorer.collect(dkey)[name])
+            if dkey is not None
+            else dscorer.score_chrom(name)
+        )
         res["total"] = pl["total"]
         res["eff_length"] = pl["eff"]
     elif u8_pack is not None:

@@ -137,3 +137,38 @@ def test_device_engine_streams_table_onto_mesh(tmp_path, rng):
     assert cli_main(base + ["-o", out_h, "--engine", "hybrid"]) == 0
     assert cli_main(base + ["-o", out_d, "--engine", "device"]) == 0
     assert _strip(out_h) == _strip(out_d)
+
+
+def test_multi_sample_dprefix_batched(tmp_path, rng, monkeypatch):
+    """Multi-sample device-engine runs batch several samples per
+    dispatch; every per-sample KCF must equal its hybrid twin."""
+    chrom = random_seq(rng, 5000, n_prob=0.002)
+    ref = str(tmp_path / "ref.fa")
+    write_fasta(ref, [("c1", chrom)])
+    prefixes, names = [], []
+    for i in range(3):
+        p = str(tmp_path / f"db{i}")
+        db_from_seqs(p, [mutate(rng, chrom, 0.01 * (i + 1))], K)
+        prefixes.append(p)
+        names.append(f"s{i}")
+    monkeypatch.setenv("KCFTOOLS_DEVICE_BATCH", "2")
+    outdir = tmp_path / "out_d"
+    outdir.mkdir()
+    rc = cli_main(
+        ["getVariations", "-r", ref, "-k", ",".join(prefixes),
+         "-s", ",".join(names), "-o", str(outdir), "-f", "window",
+         "-w", "400", "--engine", "dprefix"]
+    )
+    assert rc == 0
+    outdir_h = tmp_path / "out_h"
+    outdir_h.mkdir()
+    rc = cli_main(
+        ["getVariations", "-r", ref, "-k", ",".join(prefixes),
+         "-s", ",".join(names), "-o", str(outdir_h), "-f", "window",
+         "-w", "400", "--engine", "hybrid"]
+    )
+    assert rc == 0
+    for n in names:
+        assert _strip(str(outdir / f"{n}.kcf")) == _strip(
+            str(outdir_h / f"{n}.kcf")
+        ), n
