@@ -83,6 +83,14 @@ class ShardedTableLoader:
         per_shard = (n // t_axis + 1) * 12 + nb_local * BUCKET_SLOTS * 12
         if self.ram_budget:
             shards_per_pass = max(1, int(self.ram_budget // max(per_shard, 1)))
+            if self.slab_records is None:
+                # the decode slab (raw record bytes + decoded key/count
+                # arrays) must fit the budget too
+                rec = self.reader.suffix_length // 4 + \
+                    self.reader.counter_size
+                self.slab_records = max(
+                    1 << 16, int(self.ram_budget // (2 * (rec + 12)))
+                )
         else:
             shards_per_pass = t_axis
         return t_axis, nb_local, shards_per_pass

@@ -172,3 +172,24 @@ def test_multi_sample_dprefix_batched(tmp_path, rng, monkeypatch):
         assert _strip(str(outdir / f"{n}.kcf")) == _strip(
             str(outdir_h / f"{n}.kcf")
         ), n
+
+
+def test_sliding_windows_dprefix_matches_hybrid(tmp_path, rng):
+    """Sliding mode (-p): window k-mer ranges OVERLAP, exercising the
+    device layout's overlapping-segment handling."""
+    chrom = random_seq(rng, 4000, n_prob=0.002)
+    ref = str(tmp_path / "ref.fa")
+    write_fasta(ref, [("c1", chrom)])
+    db_prefix = str(tmp_path / "db")
+    db_from_seqs(db_prefix, [mutate(rng, chrom, 0.02)], K)
+    outs = {}
+    for eng in ("hybrid", "dprefix"):
+        out = str(tmp_path / f"{eng}.kcf")
+        rc = cli_main(
+            ["getVariations", "-r", ref, "-k", db_prefix, "-o", out,
+             "-s", "s1", "-f", "window", "-w", "500", "-p", "120",
+             "--engine", eng]
+        )
+        assert rc == 0
+        outs[eng] = _strip(out)
+    assert outs["hybrid"] == outs["dprefix"]
