@@ -260,7 +260,7 @@ def _evict_place(hi, lo, counts, t_hi, t_lo, t_cnt, fill, stuck, nb):
     rng = np.random.default_rng(0xC0FFEE)
     for idx in stuck:
         cur = (np.uint32(hi[idx]), np.uint32(lo[idx]), np.uint32(counts[idx]))
-        b = int(bucket_hashes_np(cur[0], cur[1], nb)[0])
+        b = int(bucket_hashes_np(cur[0], cur[1], nb)[0][0])
         ok = False
         for _step in range(2000):
             if fill[b] < BUCKET_SLOTS:
@@ -274,7 +274,8 @@ def _evict_place(hi, lo, counts, t_hi, t_lo, t_cnt, fill, stuck, nb):
             t_hi[b, victim], t_lo[b, victim], t_cnt[b, victim] = cur
             cur = vkey
             v1, v2 = bucket_hashes_np(cur[0], cur[1], nb)
-            b = int(v2) if int(v1) == b else int(v1)
+            v1, v2 = int(v1[0]), int(v2[0])
+            b = v2 if v1 == b else v1
         if not ok:
             return False
     return True

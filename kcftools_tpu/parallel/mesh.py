@@ -33,7 +33,35 @@ def init_distributed(coordinator=None, num_processes=None, process_id=None):
 
 
 def make_mesh(data: int = None, table: int = 1, devices=None) -> Mesh:
-    """2D mesh over (data, table). Defaults: all devices on data axis."""
+    """2D mesh over (data, table). Defaults: all devices on data axis.
+
+    Under jax.distributed with table > 1, devices are arranged so the
+    TABLE axis partitions the processes: each host then stores a
+    disjoint slice of the k-mer table (table_bytes / n_hosts at peak -
+    the wheat-scale requirement) and the streaming loader stages only
+    local shards; the table-axis psum crosses hosts over DCN while the
+    data axis stays host-local."""
+    if devices is None:
+        devices = jax.devices()
+        n_proc = jax.process_count()
+        if data is None:
+            data = len(devices) // table
+        if (
+            n_proc > 1
+            and table % n_proc == 0
+            and data * table == len(devices)
+            and len(devices) % n_proc == 0
+        ):
+            devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+            per = len(devices) // n_proc  # devices per process
+            cols_pp = table // n_proc  # table columns per process
+            arr = np.empty((data, table), dtype=object)
+            for p in range(n_proc):
+                block = np.array(
+                    devs[p * per : (p + 1) * per], dtype=object
+                ).reshape(data, cols_pp)
+                arr[:, p * cols_pp : (p + 1) * cols_pp] = block
+            return Mesh(arr, ("data", "table"))
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data is None:

@@ -430,6 +430,9 @@ def _make_scorer(args, kmc, k, db_prefix=None):
             table_axis = 2
             while est_table // table_axis > 4 << 30 and table_axis < n_dev:
                 table_axis *= 2
+        env_axis = os.environ.get("KCFTOOLS_TABLE_AXIS")
+        if env_axis:
+            table_axis = min(int(env_axis), n_dev)
         while n_dev % table_axis:
             table_axis //= 2
         mesh = make_mesh(data=n_dev // table_axis, table=table_axis)

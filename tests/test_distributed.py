@@ -1,0 +1,98 @@
+"""Real multi-process jax.distributed test (VERDICT r1: the distributed
+backend had never been exercised): two OS processes, 4 virtual CPU
+devices each, form one 8-device (data=2, table=4) mesh; each process
+streams ONLY its own table shards from a shared KMC database and the
+shard_map scorer's psum crosses the process boundary. Results must be
+exactly the single-process reference."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from kcftools_tpu.engine.encode import str_to_kmer
+from kcftools_tpu.engine.hashtable import build_table
+from kcftools_tpu.engine.pipeline import PAD_MARGIN, WindowScorer
+from kcftools_tpu.engine.windows import pad_batch_varlen
+from kcftools_tpu.io.fasta import codes_from_str
+
+from .gen import db_from_seqs, mutate, random_seq
+from .oracle import count_db
+
+K = 31
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_loader(tmp_path, rng):
+    genome = random_seq(rng, 5000)
+    sample = mutate(rng, genome, snp_rate=0.01)
+    prefix = str(tmp_path / "db")
+    db = db_from_seqs(prefix, [sample], K)
+
+    windows = [genome[i : i + 400] for i in range(0, 4400, 390)]
+    pad = max(len(w) for w in windows) + PAD_MARGIN
+    codes, valids = zip(*[codes_from_str(w) for w in windows])
+    bcodes, bvalid, wlen = pad_batch_varlen(list(codes), list(valids), pad)
+    # data axis 2: batch must pad evenly (scorer pads internally too)
+    batch_npz = str(tmp_path / "batch.npz")
+    np.savez(batch_npz, codes=bcodes, valid=bvalid, win_len=wlen)
+
+    kmers = np.array([str_to_kmer(s) for s in db], dtype=np.uint64)
+    counts = np.array(list(db.values()), dtype=np.uint32)
+    ref = WindowScorer(build_table(kmers, counts, K)).score_batch(
+        bcodes, bvalid, wlen
+    )
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    procs = []
+    outs = []
+    for pid in range(2):
+        out_path = str(tmp_path / f"worker{pid}.out")
+        outs.append(out_path)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker, f"127.0.0.1:{port}", str(pid),
+                 prefix, batch_npz, out_path],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, _ = p.communicate()
+        logs.append(stdout.decode(errors="replace"))
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log[-3000:]}"
+        assert f"WORKER_OK {pid}" in log
+
+    for pid, out_path in enumerate(outs):
+        lines = open(out_path).read().strip().split("\n")
+        meta = dict(ln.split("=", 1) for ln in lines)
+        # each process stages only a strict subset of the 4 table shards
+        assert int(meta["local_table_columns"]) == 2, meta
+        for key in ref:
+            got = np.array([int(x) for x in meta[key].split(",")])
+            np.testing.assert_array_equal(got, ref[key],
+                                          err_msg=f"{pid}:{key}")

@@ -83,3 +83,22 @@ def test_loader_multi_pass_under_ram_budget(dbws):
     for key in dbws["ref"]:
         np.testing.assert_array_equal(got[key], dbws["ref"][key],
                                       err_msg=key)
+
+
+def test_shard_overflow_grows(dbws):
+    """Starting from a deliberately undersized bucket count, per-shard
+    overflow must grow the global table and still produce exact
+    results (the bucket-pressure path)."""
+    mesh = make_mesh(data=1, table=8)
+    loader = ShardedTableLoader(dbws["prefix"], mesh, slab_records=911)
+    tbl, nb_total = loader.load(nb_total=16)  # 2 buckets/shard: overflows
+    assert nb_total > 16
+    from kcftools_tpu.parallel.sharded import ShardedWindowScorer
+
+    scorer = ShardedWindowScorer.from_device_table(
+        tbl, nb_total, mesh, k=K, both_strands=True, min_count=1
+    )
+    got = scorer.score_batch(*dbws["batch"])
+    for key in dbws["ref"]:
+        np.testing.assert_array_equal(got[key], dbws["ref"][key],
+                                      err_msg=key)

@@ -193,3 +193,24 @@ def test_sliding_windows_dprefix_matches_hybrid(tmp_path, rng):
         assert rc == 0
         outs[eng] = _strip(out)
     assert outs["hybrid"] == outs["dprefix"]
+
+
+def test_forced_table_axis_cli(tmp_path, rng, monkeypatch):
+    """KCFTOOLS_TABLE_AXIS exercises the table-sharded --engine device
+    branch of the plugin (auto-selected only for >4 GB tables)."""
+    chrom = random_seq(rng, 5000)
+    ref = str(tmp_path / "ref.fa")
+    write_fasta(ref, [("c1", chrom)])
+    db_prefix = str(tmp_path / "db")
+    db_from_seqs(db_prefix, [mutate(rng, chrom, 0.02)], K)
+    base = ["getVariations", "-r", ref, "-k", db_prefix, "-s", "s1",
+            "-f", "window", "-w", "400"]
+    out_h = str(tmp_path / "h.kcf")
+    assert cli_main(base + ["-o", out_h, "--engine", "hybrid"]) == 0
+    monkeypatch.setenv("KCFTOOLS_TABLE_AXIS", "4")
+    for memory in ((), ("--memory",)):
+        out_d = str(tmp_path / f"d{len(memory)}.kcf")
+        assert cli_main(
+            base + ["-o", out_d, "--engine", "device", *memory]
+        ) == 0
+        assert _strip(out_h) == _strip(out_d)
