@@ -20,9 +20,9 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=coord, num_processes=2, process_id=int(pid)
-    )
+    from kcftools_tpu.parallel.mesh import init_distributed
+
+    init_distributed(coord, 2, int(pid))
     assert jax.device_count() == 8, jax.device_count()
     assert jax.local_device_count() == 4
 
