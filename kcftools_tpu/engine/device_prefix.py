@@ -370,6 +370,7 @@ class DevicePrefixScorer:
         self._pending = []  # [(key, [bits upload keys], [count_sums])]
         self._inflight = []  # [(keys, [slab handles], {key: counts})]
         self._results = {}  # key -> {chrom: {field: array}}
+        self._merge_buf = None  # reused per-sample merge output
         self._seq = 0
 
     # -- reference-side setup ------------------------------------------------
@@ -419,7 +420,16 @@ class DevicePrefixScorer:
     def submit(self, key, ref_keys, db_keys, db_counts):
         from ..native import merge_counts_u8
 
-        u8, ei, ev = merge_counts_u8(ref_keys, db_keys, db_counts)
+        n_ref = (
+            ref_keys[0].shape[0]
+            if isinstance(ref_keys, tuple)
+            else ref_keys.shape[0]
+        )
+        if self._merge_buf is None or self._merge_buf.shape[0] < n_ref:
+            self._merge_buf = np.empty(n_ref, np.uint8)
+        u8, ei, ev = merge_counts_u8(
+            ref_keys, db_keys, db_counts, out=self._merge_buf[:n_ref]
+        )
         self.submit_counts(key, u8, ei, ev)
 
     def submit_counts(self, key, counts_u8, exc_idx, exc_val):

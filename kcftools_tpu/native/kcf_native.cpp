@@ -830,8 +830,16 @@ void window_scan_range_simd(const uint8_t* counts, int64_t n_counts,
   const __m512i ffm = _mm512_set1_epi32(0xFF);
   const __m512i cap = _mm512_set1_epi32((int)(n_counts - 4));
   const __m128i v255 = _mm_set1_epi8((char)0xFF);
+  constexpr int64_t PFA = 48;  // gather-target prefetch distance
   int64_t p = base;
   for (; p + 16 <= endp + 1; p += 16) {
+    if (p + PFA + 16 <= endp + 1) {
+      // hide the L3 latency of the next-but-two gather's random reads
+      for (int l = 0; l < 16; l += 4) {
+        int32_t r = r_idx[p + PFA + l];
+        if (r >= 0) __builtin_prefetch(counts + r, 0, 1);
+      }
+    }
     __m512i ri = _mm512_loadu_si512(r_idx + p);
     __mmask16 valid = _mm512_cmpge_epi32_mask(ri, zero);
     __mmask16 ok = valid & _mm512_cmple_epi32_mask(ri, cap);
