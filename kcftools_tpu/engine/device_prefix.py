@@ -210,6 +210,16 @@ class _Layout:
     def add_chrom(self, name, r_idx, starts, ends):
         w_start = np.ascontiguousarray(starts, np.int32)
         w_hi = (np.asarray(ends, np.int64) - self.k).astype(np.int32)
+        self.add_chrom_kcoords(name, r_idx, w_start, w_hi)
+
+    def add_chrom_kcoords(self, name, r_idx, w_start, w_hi):
+        """Windows already in k-mer start coordinates (feature mode).
+        Windows shorter than k (w_hi < w_start) clamp to the empty
+        range [s, s-1]: zero totals, zero stats."""
+        w_start = np.ascontiguousarray(w_start, np.int32)
+        w_hi = np.maximum(
+            np.ascontiguousarray(w_hi, np.int32), w_start - 1
+        )
         self._chroms.append(
             (name, np.ascontiguousarray(r_idx, np.int32), w_start, w_hi)
         )
@@ -379,6 +389,11 @@ class DevicePrefixScorer:
         """Register one chromosome's static arrays.
         starts/ends: half-open window base ranges (end - start >= k)."""
         self._layout.add_chrom(name, r_idx, starts, ends)
+
+    def add_chrom_kcoords(self, name, r_idx, w_start, w_hi):
+        """Windows given directly in k-mer start coordinates (feature
+        mode: one window per spliced gene/transcript)."""
+        self._layout.add_chrom_kcoords(name, r_idx, w_start, w_hi)
 
     def _finalize(self):
         if self._statics is not None:

@@ -225,10 +225,11 @@ def run(args):
         if args.feature == "window":
             uh = args.engine in ("auto", "hybrid", "dprefix")
         else:
-            # gene/transcript: the hybrid engine scores spliced features
-            # through the same merge-join + scan path (any supported k);
-            # --engine device keeps the on-chip hash pipeline (k <= 32)
-            uh = args.engine in ("auto", "hybrid")
+            # gene/transcript: the hybrid and device positional engines
+            # score spliced features through the same merge-join path
+            # (any supported k); --engine device keeps the on-chip hash
+            # pipeline (k <= 32)
+            uh = args.engine in ("auto", "hybrid", "dprefix")
         db_sorted = None
         if uh and args.memory:
             db_sorted = _sort_db(kmc, k)
@@ -290,11 +291,19 @@ def run(args):
             from ..engine.device_prefix import DevicePrefixScorer
 
             dscorer = DevicePrefixScorer(refidx, k, min_count=args.min_k_count)
-            for name, pl in plan.items():
-                if pl is not None:
-                    dscorer.add_chrom(
-                        name, refidx.chrom_r_idx[name], pl["starts"], pl["ends"]
-                    )
+            if args.feature == "window":
+                for name, pl in plan.items():
+                    if pl is not None:
+                        dscorer.add_chrom(
+                            name, refidx.chrom_r_idx[name], pl["starts"],
+                            pl["ends"],
+                        )
+            else:
+                for name, pl in refidx.chrom_plans.items():
+                    if pl is not None:
+                        dscorer.add_chrom_kcoords(
+                            name, pl["r_idx"], pl["w_start"], pl["w_hi"]
+                        )
         if dscorer is not None:
             # batch several samples per device dispatch: submit now,
             # assemble + write once the batch fills (amortizes the
@@ -555,7 +564,8 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
                 block = _score_fixed_windows(args, index, name, k, scorer, sample)
         elif use_hybrid:
             block = _score_feature_windows_hybrid(
-                args, refidx, counts_r, name, k, sample, u8_pack
+                args, refidx, counts_r, name, k, sample, u8_pack,
+                dscorer=dscorer, dkey=dkey
             )
         else:
             block = _score_feature_windows(args, index, gtf, name, k, scorer, sample)
@@ -749,7 +759,7 @@ def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k,
 
 
 def _score_feature_windows_hybrid(args, fidx, counts_r, name, k, sample,
-                                  u8_pack):
+                                  u8_pack, dscorer=None, dkey=None):
     """Hybrid engine for gene/transcript features: each feature is one
     window over the per-chromosome spliced-feature concatenation built
     by FeatureKmerIndex; per-sample counts come from the same u8 merge
@@ -763,7 +773,13 @@ def _score_feature_windows_hybrid(args, fidx, counts_r, name, k, sample,
     w_start, w_hi = pl["w_start"], pl["w_hi"]
     fields = ("observed", "variations", "inner", "left", "right",
               "count_sum")
-    if u8_pack is not None:
+    if dscorer is not None:
+        res = (
+            dict(dscorer.collect(dkey)[name])
+            if dkey is not None
+            else dscorer.score_chrom(name)
+        )
+    elif u8_pack is not None:
         u8, exc_idx, exc_val = u8_pack
         res = window_scan_u8(
             u8, exc_idx, exc_val, r_idx, args.min_k_count, k, w_start, w_hi

@@ -281,3 +281,60 @@ def test_feature_hybrid_matches_device_engine(tmp_path, rng):
              "--engine", "device"]
         ) == 0
         assert strip(a) == strip(b), feature
+
+
+@pytest.mark.parametrize("k", [15, 51])
+def test_feature_dprefix_matches_hybrid(tmp_path, rng, k):
+    """Gene/transcript mode through the device positional engine must be
+    byte-identical to the hybrid engine, including features shorter
+    than k (zero rows)."""
+    chrom = random_seq(rng, 3000, n_prob=0.005)
+    fa = str(tmp_path / "ref.fa")
+    write_fasta(fa, [("chr1", chrom)])
+    gtf_path = str(tmp_path / "f.gtf")
+    _write_gtf(
+        gtf_path,
+        [
+            ("chr1", "gene", 101, 900, "+", 'gene_id "g1";'),
+            ("chr1", "mRNA", 101, 900, "+",
+             'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "exon", 101, 500, "+",
+             'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "exon", 701, 900, "+",
+             'gene_id "g1"; transcript_id "t1";'),
+            # a gene shorter than k: zero totals everywhere
+            ("chr1", "gene", 1001, 1000 + k - 2, "+", 'gene_id "g2";'),
+            ("chr1", "mRNA", 1001, 1000 + k - 2, "+",
+             'gene_id "g2"; transcript_id "t2";'),
+            ("chr1", "exon", 1001, 1000 + k - 2, "+",
+             'gene_id "g2"; transcript_id "t2";'),
+            ("chr1", "gene", 1501, 2800, "-", 'gene_id "g3";'),
+            ("chr1", "mRNA", 1501, 2800, "-",
+             'gene_id "g3"; transcript_id "t3";'),
+            ("chr1", "exon", 1501, 2800, "-",
+             'gene_id "g3"; transcript_id "t3";'),
+        ],
+    )
+    sfa = str(tmp_path / "s.fa")
+    write_fasta(sfa, [("chr1", mutate(rng, chrom, snp_rate=0.02))])
+    db_prefix = str(tmp_path / "db")
+    assert cli_main(["count", "-i", sfa, "-o", db_prefix, "-k", str(k)]) == 0
+
+    def strip(path):
+        return [
+            ln for ln in open(path)
+            if not ln.startswith("##CMD") and not ln.startswith("##DATE")
+        ]
+
+    for feature in ("gene", "transcript"):
+        outs = {}
+        for eng in ("hybrid", "dprefix"):
+            out = str(tmp_path / f"{feature}_{eng}.kcf")
+            rc = cli_main(
+                ["getVariations", "-r", fa, "-k", db_prefix, "-o", out,
+                 "-s", "sx", "-f", feature, "-g", gtf_path,
+                 "--engine", eng]
+            )
+            assert rc == 0
+            outs[eng] = strip(out)
+        assert outs["hybrid"] == outs["dprefix"], feature
