@@ -115,10 +115,11 @@ def add_parser(subparsers):
         help="Lookup engine: 'hybrid' resolves k-mer counts on host via a "
         "sorted-merge join against a cached reference k-mer index plus a "
         "fused per-window scan (fast path for window mode); 'dprefix' "
-        "keeps the reference index resident on the accelerator and runs "
-        "the whole positional pipeline there (per-sample upload is one "
-        "compressed count array); 'device' runs hash-table lookups on "
-        "the accelerator (used for gene/transcript and sharded tables)",
+        "keeps the reference index resident on the accelerator(s) and "
+        "runs the whole positional pipeline there (genome sharded "
+        "across chips, samples batched per dispatch; any k); 'device' "
+        "runs hash-table lookups on the accelerator (k <= 32; tables "
+        "shardable across the mesh and streamable from disk)",
     )
     p.set_defaults(func=run)
     return p
@@ -267,8 +268,8 @@ def run(args):
         if k > 32 and not use_hybrid:
             Logger.error(
                 _CLASS,
-                f"k={k} > 32 requires the hybrid engine; --engine "
-                "device/dprefix support k <= 32",
+                f"k={k} > 32 requires the hybrid or dprefix engine; the "
+                "on-chip hash engine (--engine device) supports k <= 32",
             )
         if use_hybrid and (
             refidx is None or refidx.k != k or refidx.canonical != kmc.both_strands
