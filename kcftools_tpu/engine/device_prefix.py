@@ -368,7 +368,7 @@ class DevicePrefixScorer:
         self.devices = list(devices)
         self.device = self.devices[0]
         if batch is None:
-            batch = int(os.environ.get("KCFTOOLS_DEVICE_BATCH", "4"))
+            batch = int(os.environ.get("KCFTOOLS_DEVICE_BATCH", "8"))
         self.batch = max(1, int(batch))
         slab = int(
             os.environ.get("KCFTOOLS_DPREFIX_SLAB", str(1 << 26))
