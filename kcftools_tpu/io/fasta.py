@@ -11,6 +11,8 @@ lock, FastaIndex.java:138-179), extraction here is a vectorized gather
 over a numpy memmap, so it is both thread-safe and O(bytes).
 """
 
+import gzip
+import hashlib
 import os
 
 import numpy as np
@@ -18,6 +20,58 @@ import numpy as np
 from ..utils.logger import Logger
 
 _CLASS = "FastaIndex"
+
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def is_gzipped(path: str) -> bool:
+    """Gzip sniff by magic bytes (reference:
+    Utils/HelperFunctions.java:188-199 ``isCompressed``)."""
+    with open(path, "rb") as fh:
+        return fh.read(2) == _GZ_MAGIC
+
+
+def _decompress_cache_path(path: str) -> str:
+    """Sidecar path for the decompressed copy of a gzipped FASTA.
+    Prefer a sibling file (shared across runs, like ``.faidx``); fall
+    back to ``~/.cache/kcftools_tpu/fasta`` when the directory is not
+    writable."""
+    sidecar = path + ".kcfdecomp"
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    if os.access(d, os.W_OK):
+        return sidecar
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "kcftools_tpu", "fasta"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+    return os.path.join(cache_dir, tag + ".kcfdecomp")
+
+
+def ensure_decompressed(path: str) -> str:
+    """Return a plain-text path for ``path``: itself when uncompressed,
+    else a cached decompressed sidecar (regenerated on staleness).
+
+    Deliberate divergence from the reference, which refuses gzipped
+    FASTA outright (Data/FastaIndex.java:239-242); gzipped references
+    are ordinary inputs in this domain, so they are transparently
+    decompressed once and reused."""
+    if not is_gzipped(path):
+        return path
+    out = _decompress_cache_path(path)
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(path):
+        Logger.info(_CLASS, f"Using cached decompressed fasta: {out}")
+        return out
+    Logger.info(_CLASS, f"Decompressing gzipped fasta: {path} -> {out}")
+    tmp = out + ".tmp"
+    with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+        while True:
+            chunk = src.read(1 << 26)
+            if not chunk:
+                break
+            dst.write(chunk)
+    os.replace(tmp, out)
+    return out
 
 # base -> 2-bit code (A=0 C=1 G=2 T=3, case-insensitive); invalid -> 0 + mask
 _CODE_LUT = np.zeros(256, dtype=np.uint8)
@@ -45,13 +99,20 @@ class FastaIndexEntry:
 
 class FastaIndex:
     def __init__(self, fasta_path: str):
-        self.fasta_path = fasta_path
+        self.source_path = fasta_path
+        # gzipped inputs are decompressed once to a cached sidecar; the
+        # faidx is keyed to the ORIGINAL path so re-runs find it
+        data_path = ensure_decompressed(fasta_path)
+        self.fasta_path = data_path
         faidx_path = fasta_path + ".faidx"
+        if not os.access(os.path.dirname(os.path.abspath(faidx_path)) or ".",
+                         os.W_OK) and data_path != fasta_path:
+            faidx_path = data_path + ".faidx"
         if (not os.path.exists(faidx_path)) or (
             os.path.getmtime(faidx_path) < os.path.getmtime(fasta_path)
         ):
             Logger.info(_CLASS, f"Generating/Updating index file: {faidx_path}")
-            self._generate_index(fasta_path, faidx_path)
+            self._generate_index(data_path, faidx_path)
         else:
             Logger.info(_CLASS, f"Using existing index file: {faidx_path}")
 
@@ -67,19 +128,12 @@ class FastaIndex:
                     Logger.error(_CLASS, f"Duplicate sequence name in index: {e.name}")
                 self.entries[e.name] = e
                 self.sequence_names.append(e.name)
-        self._mm = np.memmap(fasta_path, dtype=np.uint8, mode="r")
+        self._mm = np.memmap(data_path, dtype=np.uint8, mode="r")
 
     # -- index generation ---------------------------------------------------
 
     @staticmethod
     def _generate_index(fasta_path: str, faidx_path: str):
-        with open(fasta_path, "rb") as fh:
-            head = fh.read(2)
-        if head[:2] == b"\x1f\x8b":
-            Logger.error(
-                _CLASS,
-                f"Fasta file is compressed. Please decompress before indexing: {fasta_path}",
-            )
         mm = np.memmap(fasta_path, dtype=np.uint8, mode="r")
         n = mm.shape[0]
         if n == 0 or mm[0] != ord(">"):

@@ -450,3 +450,46 @@ def test_get_variations_engines_identical(workspace, tmp_path):
                 if not ln.startswith(("##CMD", "##DATE", "##SOURCE"))
             ]
     assert outs["hybrid"] == outs["dprefix"]
+
+
+def test_get_variations_gzipped_reference(workspace, tmp_path):
+    """A gzipped reference FASTA produces byte-identical KCF to the
+    plain one (transparent decompression; the reference tool refuses
+    compressed input, Data/FastaIndex.java:239-242 - deliberate
+    improvement)."""
+    import gzip
+
+    gz_path = str(tmp_path / "ref.fa.gz")
+    with open(workspace["ref_path"], "rb") as src, gzip.open(gz_path, "wb") as dst:
+        dst.write(src.read())
+    name = "s2"
+    db_prefix = str(workspace["tmp"] / f"db_{name}")
+    out = str(tmp_path / "gz.kcf")
+    rc = cli_main(
+        [
+            "getVariations",
+            "-r", gz_path,
+            "-k", db_prefix,
+            "-o", out,
+            "-s", name,
+            "-f", "window",
+            "-w", str(WIN),
+        ]
+    )
+    assert rc == 0
+    with open(out) as fh:
+        got = [l for l in fh if not l.startswith("##CMD") and
+               not l.startswith("##reference") and
+               not l.startswith("##DATE") and not l.startswith("##SOURCE")]
+    with open(workspace["samples"][name]["kcf"]) as fh:
+        want = [l for l in fh if not l.startswith("##CMD") and
+                not l.startswith("##reference") and
+                not l.startswith("##DATE") and not l.startswith("##SOURCE")]
+    assert got == want
+    # cached sidecar is reused on a second construction
+    from kcftools_tpu.io.fasta import FastaIndex, ensure_decompressed
+
+    side = ensure_decompressed(gz_path)
+    assert side != gz_path and os.path.exists(side)
+    idx = FastaIndex(gz_path)
+    assert idx.get_sequence("chr1") == workspace["ref"]["chr1"]
