@@ -192,6 +192,10 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), i64p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.kcf_f32_seq_sum.restype = ctypes.c_float
+        lib.kcf_f32_seq_sum.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_float,
+        ]
         lib.kcf_parse_rows.restype = ctypes.c_int64
         lib.kcf_parse_rows.argtypes = (
             [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
@@ -917,6 +921,25 @@ def f32_seq_group_mean(scores_f64, group_off):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def f32_seq_sum(scores_f64, init=np.float32(0.0)):
+    """Resumable Java-semantics sequential sum: fold scores into an f32
+    accumulator (double adds, f32 narrowing each step). Returns the new
+    accumulator; used by the streaming findIBS summary."""
+    scores_f64 = np.ascontiguousarray(scores_f64, np.float64)
+    lib = get_lib()
+    if lib is None:
+        acc = np.float32(init)
+        for x in scores_f64:
+            acc = np.float32(float(acc) + float(x))
+        return acc
+    return np.float32(
+        lib.kcf_f32_seq_sum(
+            scores_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            scores_f64.shape[0], ctypes.c_float(float(init)),
+        )
+    )
 
 
 def build_table_native(hi, lo, counts, nb, slots=4):

@@ -1862,6 +1862,15 @@ void kcf_f32_seq_group_mean(const double* scores, const int64_t* group_off,
   }
 }
 
+// Resumable variant for the streaming findIBS sweep: fold ``n`` scores
+// into an existing f32 accumulator with the same Java semantics, so a
+// summary block spanning many batches keeps bit-exact means.
+float kcf_f32_seq_sum(const double* scores, int64_t n, float init) {
+  float acc = init;
+  for (int64_t i = 0; i < n; ++i) acc = (float)((double)acc + scores[i]);
+  return acc;
+}
+
 // 2-bit pack + validity for a byte sequence (ACGT/acgt -> 0..3).
 void kcf_encode_bases(const uint8_t* seq, int64_t n, uint8_t* codes,
                       uint8_t* valid) {
@@ -2126,3 +2135,4 @@ void kcf_pack_posbits(const uint8_t* counts, int64_t n_counts,
 }
 
 }  // extern "C"
+

@@ -296,3 +296,4 @@ def test_window_scan_u8_simd_vs_scalar(rng):
                 res_simd[key], res_ref[key],
                 err_msg=f"trial={trial} field={key}",
             )
+
