@@ -490,9 +490,14 @@ class DevicePrefixScorer:
                 self._uploader.take(rec[1][si]) for rec in batch
             )
             st = self._statics[si]
-            handles.append(
-                fn(bits, st["cs_tot"], st["w_start"], st["w_hi"])
-            )
+            h = fn(bits, st["cs_tot"], st["w_start"], st["w_hi"])
+            # start the device->host copy as soon as the exec finishes,
+            # so the fetch round trip overlaps later submits/writes
+            try:
+                h.copy_to_host_async()
+            except AttributeError:
+                pass
+            handles.append(h)
         self._inflight.append(
             (
                 [rec[0] for rec in batch],

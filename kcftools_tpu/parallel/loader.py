@@ -141,6 +141,13 @@ class ShardedTableLoader:
             f"({len(shard_ids)} local shards, {n_passes} pass(es))",
         )
         tspec = NamedSharding(self.mesh, P("table", None))
+        # recorded for telemetry / scale-harness assertions
+        self.last_stats = {
+            "n_passes": n_passes,
+            "local_shards": len(shard_ids),
+            "shards_per_pass": per_pass,
+            "nb_local": nb_local,
+        }
         shard_bufs = {}  # shard id -> list of per-device jax arrays
         for pi in range(n_passes):
             want = set(shard_ids[pi * per_pass : (pi + 1) * per_pass])

@@ -45,10 +45,75 @@ def run(args):
     if current > args.window:
         Logger.error(_CLASS, "Window size is smaller than the current window size")
 
-    block = reader.read_all()
+    step = args.window // current + 1
+
+    # Stream input batches; the (possibly incomplete) last group of each
+    # batch carries into the next so merges never split. The final
+    # header windowSize (max merged effLength, IncreaseWindows.java:97)
+    # is only known at the end, so merged rows go to a temp body file
+    # first. Peak memory: one batch + one merged batch.
+    import os
+    import tempfile
+
+    from ..io.kcf import format_block_bytes
+
+    max_eff = 0
+    fd, body_path = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(args.output)) or ".",
+        prefix=".kcfiw_",
+    )
+    carry = None
+    try:
+        with os.fdopen(fd, "wb") as body:
+            for block in reader.batches():
+                if carry is not None and len(carry):
+                    block = WindowBlock.concat([carry, block])
+                # hold back the trailing group: the next batch may
+                # continue it (same chromosome, group not yet full)
+                names = block.seq_names
+                n = len(block)
+                cut = n
+                last_name = names[-1]
+                run_len = 0
+                while cut > 0 and names[cut - 1] == last_name:
+                    cut -= 1
+                    run_len += 1
+                hold = run_len % step or step
+                cut = n - min(hold, run_len)
+                carry = block.select(np.arange(cut, n))
+                if cut == 0:
+                    continue
+                merged = _merge_groups(
+                    block.select(np.arange(cut)), step, header.weights
+                )
+                if len(merged):
+                    max_eff = max(max_eff, int(merged.eff_length.max()))
+                    body.write(format_block_bytes(merged))
+            if carry is not None and len(carry):
+                merged = _merge_groups(carry, step, header.weights)
+                if len(merged):
+                    max_eff = max(max_eff, int(merged.eff_length.max()))
+                    body.write(format_block_bytes(merged))
+
+        header.window_size = max_eff
+        header.add_command_line(get_command_line())
+        with KCFWriter(args.output) as writer:
+            writer.write_header(header)
+            with open(body_path, "rb") as body:
+                while True:
+                    chunk = body.read(1 << 24)
+                    if not chunk:
+                        break
+                    writer._fh.write(chunk)
+    finally:
+        if os.path.exists(body_path):
+            os.unlink(body_path)
+
+
+def _merge_groups(block, step, weights):
+    """Merge one batch's complete groups (vectorized combineWindows)."""
     n = len(block)
     s = block.n_samples
-    step = args.window // current + 1
 
     # group ids: consecutive same-chromosome runs chunked by `step`
     names = block.seq_names
@@ -129,10 +194,5 @@ def run(args):
     out.left = ld
     out.right = rd
     out.kmer_count = kt
-    out.finalize(header.weights)
-
-    header.window_size = int(out.eff_length.max()) if n_groups else 0
-    header.add_command_line(get_command_line())
-    with KCFWriter(args.output) as writer:
-        writer.write_header(header)
-        writer.write_block(out)
+    out.finalize(weights)
+    return out

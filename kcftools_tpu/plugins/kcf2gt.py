@@ -93,7 +93,6 @@ def run(args):
     reader = KCFReader(args.input)
     header = reader.header
     samples = header.samples
-    block = reader.read_all()
 
     dbl = javafmt.dbl
     with open(args.output, "w") as out, open(
@@ -110,33 +109,35 @@ def run(args):
             out.write("\t" + sample)
         out.write("\n")
 
-        alleles = alleles_from_scores(
-            block.score, args.score_a, args.score_b, args.score_n
-        )
-        bad = bad_windows(alleles, args.maf, args.max_missing)
         apply_filter = args.maf > 0.0 or args.max_missing < 1.0
-
         contigs_map = []
         seen_contigs = set()
-        for i in range(len(block)):
-            name = block.seq_names[i]
-            contig_id = header.get_contig_id(name) + 1
-            entry = f"{name}\t{contig_id}"
-            if entry not in seen_contigs:
-                seen_contigs.add(entry)
-                contigs_map.append(entry)
-            if chrs is not None and name not in chrs:
-                continue
-            if bad[i] and apply_filter:
-                continue
-            row = [
-                block.window_id[i],
-                str(contig_id),
-                str(block.start[i]),
-                str(block.end[i]),
-            ]
-            row.extend(str(a) for a in alleles[:, i])
-            out.write("\t".join(row) + "\n")
+        # every decision is window-local, so the table streams in
+        # bounded batches (unlike the reference's full read, :75-140)
+        for block in reader.batches():
+            alleles = alleles_from_scores(
+                block.score, args.score_a, args.score_b, args.score_n
+            )
+            bad = bad_windows(alleles, args.maf, args.max_missing)
+            for i in range(len(block)):
+                name = block.seq_names[i]
+                contig_id = header.get_contig_id(name) + 1
+                entry = f"{name}\t{contig_id}"
+                if entry not in seen_contigs:
+                    seen_contigs.add(entry)
+                    contigs_map.append(entry)
+                if chrs is not None and name not in chrs:
+                    continue
+                if bad[i] and apply_filter:
+                    continue
+                row = [
+                    block.window_id[i],
+                    str(contig_id),
+                    str(block.start[i]),
+                    str(block.end[i]),
+                ]
+                row.extend(str(a) for a in alleles[:, i])
+                out.write("\t".join(row) + "\n")
         Logger.info(_CLASS, f"Genotype table written to: {args.output}")
 
         cm.write("contigName\tcontigID\n")

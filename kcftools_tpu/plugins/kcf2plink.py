@@ -39,36 +39,46 @@ def run(args):
     header = reader.header
     samples = header.samples
     s = len(samples)
-    block = reader.read_all()
-    n = len(block)
 
-    alleles = alleles_from_scores(
-        block.score, args.score_a, args.score_b, args.score_n
-    )
-    bad_flags = bad_windows(alleles, args.maf, args.max_missing)
-
+    # PED rows are sample-major (transposed), so the allele matrix must
+    # materialize - but as int8 (codes -1..2) filled from streamed
+    # batches: 8x smaller than the reference's per-window objects
     window_count = header.window_count
-    matrix = np.zeros((s, max(window_count, n)), np.int64)
-    map_rows = [None] * max(window_count, n)
+    cap = max(window_count, 1)
+    matrix = np.zeros((s, cap), np.int8)
+    map_rows = [None] * cap
     contigs_map = []
     seen_contigs = set()
     bad_windows_set = set()
     i = 0
-    for w in range(n):
-        name = block.seq_names[w]
-        contig_id = header.get_contig_id(name) + 1
-        map_rows[i] = f"{contig_id}\t{i}\t0\t{block.start[w]}"
-        entry = f"{name}\t{contig_id}"
-        if entry not in seen_contigs:
-            seen_contigs.add(entry)
-            contigs_map.append(entry)
-        matrix[:, i] = alleles[:, w]
-        if chrs is not None and name not in chrs:
-            bad_windows_set.add(i)
-            continue  # i intentionally NOT incremented (reference quirk)
-        if bad_flags[w]:
-            bad_windows_set.add(i)
-        i += 1
+    for block in reader.batches():
+        n = len(block)
+        if i + n > cap:
+            grow = max(cap * 2, i + n)
+            matrix = np.concatenate(
+                [matrix, np.zeros((s, grow - cap), np.int8)], axis=1
+            )
+            map_rows.extend([None] * (grow - cap))
+            cap = grow
+        alleles = alleles_from_scores(
+            block.score, args.score_a, args.score_b, args.score_n
+        )
+        bad_flags = bad_windows(alleles, args.maf, args.max_missing)
+        for w in range(n):
+            name = block.seq_names[w]
+            contig_id = header.get_contig_id(name) + 1
+            map_rows[i] = f"{contig_id}\t{i}\t0\t{block.start[w]}"
+            entry = f"{name}\t{contig_id}"
+            if entry not in seen_contigs:
+                seen_contigs.add(entry)
+                contigs_map.append(entry)
+            matrix[:, i] = alleles[:, w]
+            if chrs is not None and name not in chrs:
+                bad_windows_set.add(i)
+                continue  # i intentionally NOT incremented (reference quirk)
+            if bad_flags[w]:
+                bad_windows_set.add(i)
+            i += 1
 
     with open(args.output + ".map", "w") as mw:
         for m in range(i):

@@ -27,13 +27,6 @@ def add_parser(subparsers):
 def run(args):
     reader = KCFReader(args.input)
     header = reader.header
-    block = reader.read_all()
-    if len(block) > header.window_count:
-        Logger.error(
-            _CLASS,
-            f"KCF has {len(block)} windows but header nwindow="
-            f"{header.window_count}",
-        )
     if args.sample is not None:
         if not header.has_sample(args.sample):
             Logger.error(_CLASS, f"Sample {args.sample} not found in KCF file")
@@ -42,17 +35,32 @@ def run(args):
         samples = header.samples
 
     f2 = javafmt.f2
-    for sample in samples:
-        j = block.samples.index(sample)
-        path = f"{args.output}.{sample}.tsv"
-        with open(path, "w") as out:
+    # one open file per sample; windows stream in bounded batches
+    outs = {s: open(f"{args.output}.{s}.tsv", "w") for s in samples}
+    try:
+        for out in outs.values():
             out.write(_HEADER)
-            tail = block.tail
-            for i in range(len(block)):
-                out.write(
-                    f"{block.window_id[i]}\t{block.seq_names[i]}\t{block.start[i]}\t"
-                    f"{block.end[i]}\t{block.eff_length[i]}\t{block.total_kmers[i]}\t"
-                    f"{block.ob[j, i]}\t{block.va[j, i]}\t"
-                    f"{block.inner[j, i] + tail[j, i]}\t"
-                    f"{f2(block.mean_kd[j, i])}\t{f2(block.score[j, i])}\n"
+        seen = 0
+        for block in reader.batches():
+            seen += len(block)
+            if seen > header.window_count:
+                Logger.error(
+                    _CLASS,
+                    f"KCF has {seen}+ windows but header nwindow="
+                    f"{header.window_count}",
                 )
+            tail = block.tail
+            for sample in samples:
+                j = block.samples.index(sample)
+                out = outs[sample]
+                for i in range(len(block)):
+                    out.write(
+                        f"{block.window_id[i]}\t{block.seq_names[i]}\t{block.start[i]}\t"
+                        f"{block.end[i]}\t{block.eff_length[i]}\t{block.total_kmers[i]}\t"
+                        f"{block.ob[j, i]}\t{block.va[j, i]}\t"
+                        f"{block.inner[j, i] + tail[j, i]}\t"
+                        f"{f2(block.mean_kd[j, i])}\t{f2(block.score[j, i])}\n"
+                    )
+    finally:
+        for out in outs.values():
+            out.close()

@@ -167,3 +167,45 @@ def test_find_ibs_bed_requires_summary(cohort_kcf, tmp_path):
     samples = KCFReader(cohort_kcf).header.samples
     for s in samples:
         assert not os.path.exists(out + f".{s}.bed")
+
+
+@pytest.mark.parametrize("cmd", ["kcf2tsv", "kcf2gt", "increaseWindow"])
+def test_exporters_streaming_batches_identical(
+    cohort_kcf, tmp_path, monkeypatch, cmd
+):
+    """Batched exporters emit byte-identical files under tiny batches."""
+    from kcftools_tpu.io.kcf import KCFReader as KR
+
+    def go(tag):
+        if cmd == "kcf2tsv":
+            out = str(tmp_path / f"{tag}")
+            rc = cli_main(["kcf2tsv", "-i", cohort_kcf, "-o", out])
+            paths = [
+                out + f".{s}.tsv" for s in KR(cohort_kcf).header.samples
+            ]
+        elif cmd == "kcf2gt":
+            out = str(tmp_path / f"{tag}.gt")
+            rc = cli_main(["kcf2gt", "-i", cohort_kcf, "-o", out])
+            paths = [out, out + ".contigsMap.tsv"]
+        else:
+            out = str(tmp_path / f"{tag}.kcf")
+            rc = cli_main(
+                ["increaseWindow", "-i", cohort_kcf, "-o", out, "-w", "1000"]
+            )
+            paths = [out]
+        assert rc == 0
+        data = []
+        for p in paths:
+            with open(p) as fh:
+                data.append(
+                    [l for l in fh if not l.startswith("##CMD")]
+                )
+        return data
+
+    big = go("big")
+    orig = KR.batches
+    monkeypatch.setattr(
+        KR, "batches", lambda self, batch_rows=200_000: orig(self, 4)
+    )
+    small = go("small")
+    assert small == big
