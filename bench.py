@@ -1,54 +1,52 @@
 #!/usr/bin/env python
-"""Benchmark: windows scored per second per chip on the getVariations hot
-path.
+"""Benchmark: the getVariations hot path plus end-to-end command rungs.
 
-Workload: E. coli-scale synthetic genome (5 Mbp), k=31, 5 kb fixed
-windows (the driver's first ladder config), query DBs = several mutated
-samples' canonical k-mer counts - the multi-sample shape the plugin
-actually runs (one reference, many KMC databases). Measures the
-per-sample work of the engine exactly as the plugin runs it.
+Primary metric (the driver's headline): windows scored per second per
+chip on the per-sample engine work (merge join + window statistics),
+E. coli-scale (5 Mbp, k=31, 5 kb fixed windows, 8 samples) - the first
+ladder config. BOTH engines are measured and the champion reported:
 
-Default: measure BOTH engines and report the champion, with the other
-engine's number carried in the same JSON line (``BENCH_ENGINE=hybrid``
-or ``=dprefix`` restricts to one):
-
-  - ``dprefix`` - the device-resident scorer. Per sample the host
-    performs the AVX-512 merge join and packs a positional presence
-    bitmap (1 bit per k-mer start) + exact per-window count sums
-    (native kcf_pack_posbits); the device executes the entire
+  - ``hybrid``  - pure-host path (AVX-512 merge join + fused native
+    window scan), the single-chip default.
+  - ``dprefix`` - device-resident scorer: the host performs the merge
+    join and packs a positional presence bitmap + exact per-window
+    count sums (native kcf_pack_posbits); the device executes the whole
     per-window gap-run state machine (GetVariants.java:202-261
     semantics) as batched int32 prefix scans, several samples per
-    dispatch so the tunnel round trip amortizes.
-  - ``hybrid`` - the pure-host path (AVX-512 merge join + fused native
-    window scan).
+    dispatch.
 
-Measured environment characteristics that decide the duel here: this
-image reaches its single TPU chip through a tunnel costing ~29 ms per
-dispatch+fetch round trip, 0.15-0.6 GB/s host->device, and ~4 ms of
-host CPU per sample payload on a 2-core host - while the two engines
-share their dominant per-sample host costs (merge join + positional
-gather; the host-side scan the device replaces is only ~9 ms). On
-hardware where the chip is local (PCIe DMA, no serialize tax) the
-device engine's transfer cost is ~0.1 ms/sample and it wins; here the
-champion is usually the host path. Both numbers are reported so the
-trade is visible.
+Additional rungs, all timed on REAL FILES through the actual CLI entry
+points (the command, not the kernel):
 
-One-time per-reference work (k-mer index construction, window plan,
-file ingest) is excluded - it amortizes across samples; everything
-per-sample is included. Result is the best of several full sweeps.
+  - ``e2e``     - multi-sample getVariations wall-clock: KMC database
+    ingest from disk -> scoring -> KCF files on disk (8 samples).
+  - ``rung20``  - the engine duel at 20 samples (rice-ladder sample
+    count; the device dispatch amortizes across more samples).
+  - ``gtf``     - gene-feature mode over a synthetic GTF (spliced
+    feature windows, the A. thaliana-shaped rung).
+  - ``pipeline``- cohort (8 single-sample KCFs -> 1) + findIBS
+    --summary, the downstream sweep.
 
-Baseline: the reference (pure Java, per-k-mer signature scan + binary
-search, thread pool over windows; Plugins/GetVariants.java:202-261)
-publishes no numbers and no JVM exists in this image, so
-BASELINE_WINDOWS_PER_SEC is an estimate of the Java tool on a 24-thread
-host: ~1.5us/kmer/thread => ~16M kmer/s => ~3200 windows/s at 5000
-kmers/window. The >=10x target from BASELINE.md is measured against
-this estimate.
+BASELINE HONESTY: the reference publishes no numbers and no JVM exists
+in this image, so ``vs_baseline`` divides by an ESTIMATE of the Java
+tool's throughput on a 24-thread host (~1.5 us/kmer/thread => ~16M
+kmer/s => ~3200 windows/s at 5 kb windows). It is a modeled ratio, not
+a measured one; ``baseline_estimated: true`` marks it in the output.
+
+Environment note: this image reaches one TPU chip through a tunnel
+costing tens of ms per dispatch+fetch round trip on a 2-core host. The
+two engines share their dominant per-sample host cost (the merge join),
+so the host path usually wins the duel HERE; on locally attached
+devices the dispatch tax shrinks ~30x and the balance flips as sample
+counts grow. Both numbers are always reported so the trade is visible.
 """
 
+import contextlib
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -65,7 +63,123 @@ K = 31
 WINDOW = 5000
 SNP_RATE = 0.01
 N_SAMPLES = 8
-BASELINE_WINDOWS_PER_SEC = 3200.0
+N_SAMPLES_BIG = 20
+BASELINE_WINDOWS_PER_SEC = 3200.0  # estimate; see module docstring
+
+
+def _mutate(rng, genome):
+    sample = genome.copy()
+    snp = rng.random(genome.shape[0]) < SNP_RATE
+    sample[snp] = (sample[snp] + rng.integers(1, 4, snp.sum())) % 4
+    return sample
+
+
+def _sample_db(rng, genome, base_valid):
+    skmers, skv = pack_kmers(_mutate(rng, genome), base_valid, K)
+    db_sorted, db_counts = np.unique(
+        canonicalize(skmers[skv], K), return_counts=True
+    )
+    return db_sorted, db_counts.astype(np.uint32)
+
+
+def _measure(sweep, rounds, work):
+    sweep()  # warm (compiles on the device path; page faults on host)
+    best = 0.0
+    for _ in range(rounds):  # the shared host is noisy; best-of-many
+        t0 = time.time()
+        sweep()
+        best = max(best, work / (time.time() - t0))
+    return best
+
+
+def _engine_duel(dbs, refk, r_idx, starts, ends, which, rounds=8):
+    """Best-of windows/s for each engine over the given sample set."""
+    n_windows = len(starts)
+    w_hi = (ends - K).astype(np.int32)
+    work = len(dbs) * n_windows
+    rates = {}
+
+    if which in ("both", "hybrid"):
+        out = np.empty(refk.size, np.uint8)
+
+        def hybrid_sweep():
+            tot = 0
+            for db_sorted, db_counts in dbs:
+                u8, ei, ev = merge_counts_u8(refk, db_sorted, db_counts, out=out)
+                res = window_scan_u8(u8, ei, ev, r_idx, 1, K, starts, w_hi)
+                tot += int(res["observed"].sum())
+            return tot
+
+        rates["hybrid"] = _measure(hybrid_sweep, rounds, work)
+
+    if which in ("both", "dprefix"):
+        from kcftools_tpu.engine.device_prefix import DevicePrefixScorer
+
+        scorer = DevicePrefixScorer(None, K, min_count=1)
+        scorer.add_chrom("c", r_idx, starts, ends)
+
+        def dprefix_sweep():
+            for si, (db_sorted, db_counts) in enumerate(dbs):
+                scorer.submit(si, refk, db_sorted, db_counts)
+            tot = 0
+            for si in range(len(dbs)):
+                res = scorer.collect(si)
+                tot += int(res["c"]["observed"].sum())
+                scorer.discard(si)
+            return tot
+
+        rates["dprefix"] = _measure(dprefix_sweep, rounds, work)
+        scorer.close()
+    return rates
+
+
+def _write_ref_fasta(path, genome):
+    bases = np.frombuffer(b"ACGT", np.uint8)[genome]
+    seq = bases.tobytes().decode()
+    with open(path, "w") as fh:
+        fh.write(">chr1\n")
+        for i in range(0, len(seq), 60):
+            fh.write(seq[i : i + 60] + "\n")
+
+
+def _write_gtf(path, seq_len, rng, n_genes=1200):
+    """Synthetic GTF: genes of 1-3 exons scattered over chr1."""
+    starts = np.sort(rng.choice(seq_len - 4000, n_genes, replace=False))
+    with open(path, "w") as fh:
+        for gi, g0 in enumerate(starts):
+            gene = f"g{gi:05d}"
+            tr = gene + ".1"
+            n_ex = int(rng.integers(1, 4))
+            pos = int(g0)
+            exons = []
+            for _ in range(n_ex):
+                ex_len = int(rng.integers(150, 900))
+                exons.append((pos + 1, pos + ex_len))
+                pos += ex_len + int(rng.integers(50, 400))
+            g_end = exons[-1][1]
+            fh.write(
+                f'chr1\tsyn\tgene\t{g0 + 1}\t{g_end}\t.\t+\t.\tgene_id "{gene}";\n'
+            )
+            fh.write(
+                f"chr1\tsyn\ttranscript\t{g0 + 1}\t{g_end}\t.\t+\t.\t"
+                f'gene_id "{gene}"; transcript_id "{tr}";\n'
+            )
+            for a, b in exons:
+                fh.write(
+                    f"chr1\tsyn\texon\t{a}\t{b}\t.\t+\t.\t"
+                    f'gene_id "{gene}"; transcript_id "{tr}";\n'
+                )
+
+
+def _cli(argv):
+    """Run a CLI subcommand with its stdout logging diverted to stderr
+    (bench stdout must stay a single JSON line)."""
+    from kcftools_tpu.cli import main as cli_main
+
+    with contextlib.redirect_stdout(sys.stderr):
+        rc = cli_main(argv)
+    if rc != 0:
+        raise RuntimeError(f"command failed: {argv[:2]}")
 
 
 def main():
@@ -74,95 +188,162 @@ def main():
     genome = rng.integers(0, 4, size=n).astype(np.uint8)
     base_valid = np.ones(n, bool)
 
-    # reference k-mer index + window plan (one-time, excluded from timing)
+    # reference k-mer index + window plan (one-time, excluded: amortizes
+    # across samples exactly as RefKmerIndex.load_or_build does)
     kmers, kv = pack_kmers(genome, base_valid, K)
     canon = canonicalize(kmers, K)
     refk = np.unique(canon[kv])
     r_idx = np.searchsorted(refk, canon).astype(np.int32)
     r_idx[~kv] = -1
     starts, ends = tiling_windows(n, WINDOW, K)
-    w_hi = (ends - K).astype(np.int32)
     static_window_stats(r_idx, base_valid, K, starts, ends)
     n_windows = len(starts)
 
-    # per-sample tables, sorted as the KMC reader provides them
-    dbs = []
-    for si in range(N_SAMPLES):
-        sample = genome.copy()
-        snp = rng.random(n) < SNP_RATE
-        sample[snp] = (sample[snp] + rng.integers(1, 4, snp.sum())) % 4
-        skmers, skv = pack_kmers(sample, base_valid, K)
-        db_sorted, db_counts = np.unique(
-            canonicalize(skmers[skv], K), return_counts=True
-        )
-        dbs.append((db_sorted, db_counts.astype(np.uint32)))
-
-    def make_dprefix_sweep():
-        from kcftools_tpu.engine.device_prefix import DevicePrefixScorer
-
-        batch = int(os.environ.get("KCFTOOLS_DEVICE_BATCH", "8"))
-        scorer = DevicePrefixScorer(None, K, min_count=1, batch=batch)
-        scorer.add_chrom("c", r_idx, starts, ends)
-
-        def sweep():
-            for si, (db_sorted, db_counts) in enumerate(dbs):
-                scorer.submit(si, refk, db_sorted, db_counts)
-            tot = 0
-            for si in range(N_SAMPLES):
-                res = scorer.collect(si)
-                tot += int(res["c"]["observed"].sum())
-                scorer.discard(si)
-            return tot
-
-        return sweep
-
-    def hybrid_sweep():
-        tot = 0
-        out = hybrid_sweep.out
-        for db_sorted, db_counts in dbs:
-            u8, ei, ev = merge_counts_u8(refk, db_sorted, db_counts, out=out)
-            res = window_scan_u8(u8, ei, ev, r_idx, 1, K, starts, w_hi)
-            tot += int(res["observed"].sum())
-        return tot
-
-    hybrid_sweep.out = np.empty(refk.size, np.uint8)
-
-    def measure(sweep, rounds=8):
-        sweep()  # warm (compiles on the device path; page faults on host)
-        best = 0.0
-        for _ in range(rounds):  # the shared host is noisy; best-of-many
-            t0 = time.time()
-            sweep()
-            best = max(best, N_SAMPLES * n_windows / (time.time() - t0))
-        return best
+    dbs = [_sample_db(rng, genome, base_valid) for _ in range(N_SAMPLES_BIG)]
 
     which = os.environ.get("BENCH_ENGINE", "both")
-    rates = {}
-    if which in ("both", "hybrid"):
-        rates["hybrid"] = measure(hybrid_sweep)
-    if which in ("both", "dprefix"):
-        rates["dprefix"] = measure(make_dprefix_sweep())
-    engine = max(rates, key=rates.get)
-    best = rates[engine]
+    rungs = set(
+        os.environ.get(
+            "BENCH_RUNGS", "duel,rung20,e2e,device,gtf,pipeline"
+        ).split(",")
+    )
 
-    kmers_per_window = WINDOW - K + 1
     result = {
         "metric": "windows_scored_per_sec_per_chip",
-        "value": round(best, 1),
         "unit": "windows/s (5kb windows, k=31, 8 samples)",
-        "vs_baseline": round(best / BASELINE_WINDOWS_PER_SEC, 2),
-        "kmer_lookups_per_sec": round(best * kmers_per_window),
         "n_windows": n_windows,
-        "engine": engine,
+        "baseline_estimated": True,
     }
+
+    # -- rung 1: engine duel, 8 samples (headline) --------------------------
+    rates = _engine_duel(dbs[:N_SAMPLES], refk, r_idx, starts, ends, which)
+    engine = max(rates, key=rates.get)
+    best = rates[engine]
+    result["value"] = round(best, 1)
+    result["vs_baseline"] = round(best / BASELINE_WINDOWS_PER_SEC, 2)
+    result["engine"] = engine
+    result["kmer_lookups_per_sec"] = round(best * (WINDOW - K + 1))
     for name, rate in rates.items():
         result[f"{name}_windows_per_sec"] = round(rate, 1)
-    if "dprefix" in rates:
+        result[f"{name}_vs_baseline_est"] = round(
+            rate / BASELINE_WINDOWS_PER_SEC, 2
+        )
+
+    # -- rung 2: engine duel, 20 samples (rice-ladder sample count) ---------
+    if "rung20" in rungs:
+        r20 = _engine_duel(dbs, refk, r_idx, starts, ends, which, rounds=4)
+        for name, rate in r20.items():
+            result[f"rung20_{name}_windows_per_sec"] = round(rate, 1)
+
+    if which in ("both", "dprefix"):
         import jax
 
         result["device"] = str(jax.devices()[0])
     else:
         result["device"] = "host"
+
+    # -- file-based rungs ---------------------------------------------------
+    tmp = tempfile.mkdtemp(prefix="kcfbench_")
+    try:
+        from kcftools_tpu.io.kmc import write_kmc_db
+
+        ref_fa = os.path.join(tmp, "ref.fa")
+        _write_ref_fasta(ref_fa, genome)
+        db_prefixes = []
+        for i in range(N_SAMPLES):
+            p = os.path.join(tmp, f"s{i}")
+            write_kmc_db(p, dbs[i][0], dbs[i][1], K, counter_size=1)
+            db_prefixes.append(p)
+
+        if "e2e" in rungs:
+            # multi-sample getVariations: KMC ingest -> score -> KCF
+            # files. Cold includes the one-time reference k-mer index
+            # build; warm reuses its on-disk cache (the steady state for
+            # repeated screenings against one reference).
+            out_dir = os.path.join(tmp, "kcf")
+            argv = [
+                "getVariations", "-r", ref_fa,
+                "-k", ",".join(db_prefixes),
+                "-o", out_dir,
+                "-s", ",".join(f"s{i}" for i in range(N_SAMPLES)),
+                "-f", "window", "-w", str(WINDOW), "-t", "2",
+            ]
+            t0 = time.time()
+            _cli(argv)
+            cold = time.time() - t0
+            t0 = time.time()
+            _cli(argv)
+            warm = time.time() - t0
+            result["e2e_cold_seconds"] = round(cold, 2)
+            result["e2e_seconds"] = round(warm, 2)
+            result["e2e_windows_per_sec"] = round(
+                N_SAMPLES * n_windows / warm, 1
+            )
+
+        if "device" in rungs:
+            # the on-chip hash-table engine (--engine device): per
+            # sample the table itself is built and placed on device and
+            # every window's k-mers are probed there. 2 samples keeps
+            # the rung cheap; the per-sample rate is what matters.
+            out_dir = os.path.join(tmp, "kcf_dev")
+            t0 = time.time()
+            os.environ["KCFTOOLS_ENGINE"] = "device"
+            try:
+                _cli(
+                    [
+                        "getVariations", "-r", ref_fa,
+                        "-k", ",".join(db_prefixes[:2]),
+                        "-o", out_dir,
+                        "-s", "s0,s1",
+                        "-f", "window", "-w", str(WINDOW), "-t", "2",
+                    ]
+                )
+            finally:
+                os.environ.pop("KCFTOOLS_ENGINE", None)
+            dt = time.time() - t0
+            result["device_e2e_seconds"] = round(dt, 2)
+            result["device_e2e_windows_per_sec"] = round(
+                2 * n_windows / dt, 1
+            )
+
+        if "gtf" in rungs:
+            gtf_path = os.path.join(tmp, "genes.gtf")
+            _write_gtf(gtf_path, n, rng)
+            out_kcf = os.path.join(tmp, "gene.kcf")
+            t0 = time.time()
+            _cli(
+                [
+                    "getVariations", "-r", ref_fa, "-k", db_prefixes[0],
+                    "-o", out_kcf, "-s", "s0", "-f", "gene",
+                    "-g", gtf_path, "-t", "2",
+                ]
+            )
+            dt = time.time() - t0
+            with open(out_kcf) as fh:
+                n_feat = sum(1 for l in fh if not l.startswith("#"))
+            result["gtf_seconds"] = round(dt, 2)
+            result["gtf_features_per_sec"] = round(n_feat / dt, 1)
+
+        if "pipeline" in rungs and "e2e" in rungs:
+            coh = os.path.join(tmp, "cohort.kcf")
+            ibs = os.path.join(tmp, "ibs")
+            t0 = time.time()
+            _cli(
+                [
+                    "cohort", "-o", coh,
+                    "-i", ",".join(
+                        os.path.join(tmp, "kcf", f"s{i}.kcf")
+                        for i in range(N_SAMPLES)
+                    ),
+                ]
+            )
+            _cli(["findIBS", "-i", coh, "-o", ibs, "--summary"])
+            dt = time.time() - t0
+            result["pipeline_seconds"] = round(dt, 2)
+            result["pipeline_windows_per_sec"] = round(n_windows / dt, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     print(json.dumps(result))
     return 0
 

@@ -10,9 +10,11 @@ state machine re-expressed as prefix scans plus O(1) boundary gathers.
 Measured tunnel characteristics on the target environment drive the
 design:
 
-  - one dispatch+fetch round trip costs ~29 ms regardless of size
-    => samples are BATCHED: one jitted call scores S samples over the
-       whole genome at once, so the round trip amortizes to 29/S ms
+  - one dispatch+fetch round trip costs tens of ms regardless of size,
+    but async dispatches PIPELINE through the runtime
+    => every sample is dispatched eagerly from a worker thread the
+       moment its bitmap is packed; all round trips except the final
+       sample's overlap the next sample's host work
   - host->device bandwidth collapses beyond ~1 MiB per transfer
     => the per-sample payload is ONE positional presence bitmap
        (1 bit per k-mer start; ~0.6 MiB for a 5 Mbp genome) packed by
@@ -153,36 +155,32 @@ def _score_batch(bits, cs_tot, w_start, w_hi, *, k: int):
     return jnp.moveaxis(jax.vmap(one)(stacked), 0, 1)  # (5, S, win_pad)
 
 
-class _Uploader:
-    """Background thread turning host buffers into device arrays so
-    tunnel transfer overlaps the producer's compute."""
+class _Worker:
+    """Single background thread running keyed jobs (upload + async
+    dispatch) so device round trips overlap the producer's host work.
+    Jobs run in submission order; results are retrieved by key."""
 
-    def __init__(self, device):
+    def __init__(self):
         self._q = queue.Queue()
         self._results = {}
-        self._device = device
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
-        import jax
-
         while True:
             item = self._q.get()
             if item is None:
                 return
-            key, buf, device, event = item
+            key, fn, event = item
             try:
-                self._results[key] = jax.device_put(
-                    buf, device or self._device
-                )
+                self._results[key] = fn()
             except Exception as e:  # surfaced on take()
                 self._results[key] = e
             event.set()
 
-    def put(self, key, buf, device=None):
+    def submit(self, key, fn):
         event = threading.Event()
-        self._q.put((key, buf, device, event))
+        self._q.put((key, fn, event))
         self._results[key] = event
 
     def take(self, key):
@@ -196,6 +194,10 @@ class _Uploader:
 
     def close(self):
         self._q.put(None)
+        # join so no worker is mid-runtime-call when the process tears
+        # the backend down (a daemon thread inside a dispatch at exit
+        # aborts some PJRT runtimes)
+        self._thread.join(timeout=30)
 
 
 class _Layout:
@@ -374,11 +376,11 @@ class DevicePrefixScorer:
             os.environ.get("KCFTOOLS_DPREFIX_SLAB", str(1 << 26))
         )
         self._layout = _Layout(self.k, slab)
-        self._uploader = _Uploader(self.device)
+        self._worker = _Worker()
         self._statics = None  # per-slab device arrays
         self._score_fns = {}
-        self._pending = []  # [(key, [bits upload keys], [count_sums])]
-        self._inflight = []  # [(keys, [slab handles], {key: counts})]
+        self._jobs = {}  # sample key -> worker job token
+        self._csums = {}  # sample key -> per-slab count sums
         self._results = {}  # key -> {chrom: {field: array}}
         self._merge_buf = None  # reused per-sample merge output
         self._seq = 0
@@ -449,17 +451,26 @@ class DevicePrefixScorer:
 
     def submit_counts(self, key, counts_u8, exc_idx, exc_val):
         """Pack positional presence bits + exact window count sums on
-        host (native), start the async upload, and dispatch a batch
-        when full. key=None marks the single-sample flow."""
+        host (native), then hand the sample to the worker thread, which
+        uploads the bitmaps and dispatches the device program
+        IMMEDIATELY (async). Dispatches pipeline through the runtime,
+        so every round trip except the final sample's overlaps the next
+        sample's host work - batching is unnecessary for latency hiding
+        and ``batch`` only paces the caller's write-back grouping.
+        key=None marks the single-sample flow."""
         from ..native import pack_posbits
 
         self._finalize()
         if key is None:
             # single-sample flow: a new sample invalidates the old one
             self._results.pop(None, None)
+            old = self._jobs.pop(None, None)
+            if old is not None:
+                self._worker.take(old)
+            self._csums.pop(None, None)
         exc_idx = np.ascontiguousarray(exc_idx, np.int32)
         exc_val = np.ascontiguousarray(exc_val, np.uint32)
-        up_keys = []
+        bits_list = []
         count_sums = []
         for si, slab in enumerate(self._layout.slabs):
             bits, csum = pack_posbits(
@@ -468,29 +479,25 @@ class DevicePrefixScorer:
                 slab["w_hi"][: slab["n_win"]],
                 n_bits_bytes=self._layout.pos_pad // 8,
             )
-            uk = (self._seq, si)
-            self._uploader.put(uk, bits, self._statics[si]["device"])
-            up_keys.append(uk)
+            bits_list.append(bits)
             count_sums.append(csum)
+        token = self._seq
         self._seq += 1
-        self._pending.append((key, up_keys, count_sums))
-        if len(self._pending) >= self.batch:
-            self._dispatch()
+        self._worker.submit(token, lambda: self._dispatch_one(bits_list))
+        self._jobs[key] = token
+        self._csums[key] = count_sums
 
-    def _dispatch(self):
-        if not self._pending:
-            return
-        batch = self._pending
-        self._pending = []
-        S = len(batch)
-        fn = self._score_fn(S)
+    def _dispatch_one(self, bits_list):
+        """Worker thread: upload each slab's bitmap and launch the
+        scoring program asynchronously; returns the result handles."""
+        import jax
+
+        fn = self._score_fn(1)
         handles = []
-        for si in range(len(self._layout.slabs)):
-            bits = tuple(
-                self._uploader.take(rec[1][si]) for rec in batch
-            )
+        for si, bits in enumerate(bits_list):
             st = self._statics[si]
-            h = fn(bits, st["cs_tot"], st["w_start"], st["w_hi"])
+            b = jax.device_put(bits, st["device"])
+            h = fn((b,), st["cs_tot"], st["w_start"], st["w_hi"])
             # start the device->host copy as soon as the exec finishes,
             # so the fetch round trip overlaps later submits/writes
             try:
@@ -498,52 +505,37 @@ class DevicePrefixScorer:
             except AttributeError:
                 pass
             handles.append(h)
-        self._inflight.append(
-            (
-                [rec[0] for rec in batch],
-                handles,
-                {rec[0]: rec[2] for rec in batch},
-            )
-        )
-
-    def _resolve(self, keys, handles, csums):
-        """Fetch one batch's device results and assemble per-chrom
-        dicts (int64, reference semantics) for every sample in it."""
-        slabs = self._layout.slabs
-        arrs = [np.asarray(h) for h in handles]  # (5, S, win_pad) each
-        for j, key in enumerate(keys):
-            out = {
-                name: {f: np.zeros(nw, np.int64) for f in _FIELDS}
-                | {"count_sum": np.zeros(nw, np.int64)}
-                for name, nw in self._layout.chrom_n_win.items()
-            }
-            for si, slab in enumerate(slabs):
-                arr = arrs[si]
-                csum = csums[key][si]
-                for chrom, c_off, s_off, cnt in slab["wins"]:
-                    dst = out[chrom]
-                    for fi, f in enumerate(_FIELDS):
-                        dst[f][c_off : c_off + cnt] = arr[
-                            fi, j, s_off : s_off + cnt
-                        ]
-                    dst["count_sum"][c_off : c_off + cnt] = csum[
-                        s_off : s_off + cnt
-                    ]
-            self._results[key] = out
+        return handles
 
     def collect(self, key=None):
         """Return {chrom: {field: (n_windows,) int64 array}} for a
-        submitted sample, dispatching/fetching its batch as needed."""
+        submitted sample, awaiting its in-flight dispatch as needed."""
         if key in self._results:
             return self._results[key]
-        if any(rec[0] == key for rec in self._pending):
-            self._dispatch()
-        for i, (keys, handles, csums) in enumerate(self._inflight):
-            if key in keys:
-                self._inflight.pop(i)
-                self._resolve(keys, handles, csums)
-                return self._results[key]
-        raise KeyError(f"no submitted sample {key!r}")
+        if key not in self._jobs:
+            raise KeyError(f"no submitted sample {key!r}")
+        handles = self._worker.take(self._jobs.pop(key))
+        csums = self._csums.pop(key)
+        slabs = self._layout.slabs
+        out = {
+            name: {f: np.zeros(nw, np.int64) for f in _FIELDS}
+            | {"count_sum": np.zeros(nw, np.int64)}
+            for name, nw in self._layout.chrom_n_win.items()
+        }
+        for si, slab in enumerate(slabs):
+            arr = np.asarray(handles[si])  # (5, 1, win_pad)
+            csum = csums[si]
+            for chrom, c_off, s_off, cnt in slab["wins"]:
+                dst = out[chrom]
+                for fi, f in enumerate(_FIELDS):
+                    dst[f][c_off : c_off + cnt] = arr[
+                        fi, 0, s_off : s_off + cnt
+                    ]
+                dst["count_sum"][c_off : c_off + cnt] = csum[
+                    s_off : s_off + cnt
+                ]
+        self._results[key] = out
+        return out
 
     def score_chrom(self, name):
         """Single-sample flow: stats for one chromosome."""
@@ -558,4 +550,4 @@ class DevicePrefixScorer:
         self._results.pop(key, None)
 
     def close(self):
-        self._uploader.close()
+        self._worker.close()
