@@ -8,21 +8,28 @@ the device owns everything scan-shaped: the whole per-window gap-run
 state machine re-expressed as prefix scans plus O(1) boundary gathers.
 
 Measured tunnel characteristics on the target environment drive the
-design:
+design (numbers from the round-3 profiling on the shared 2-core host
+reaching one TPU v5e through the tunnel; they vary by the hour):
 
-  - one dispatch+fetch round trip costs tens of ms regardless of size,
-    but async dispatches PIPELINE through the runtime
-    => every sample is dispatched eagerly from a worker thread the
-       moment its bitmap is packed; all round trips except the final
-       sample's overlap the next sample's host work
-  - host->device bandwidth collapses beyond ~1 MiB per transfer
-    => the per-sample payload is ONE positional presence bitmap
-       (1 bit per k-mer start; ~0.6 MiB for a 5 Mbp genome) packed by
-       the native kcf_pack_posbits kernel, not per-unique u8 counts
-  - XLA TPU gathers run ~150 M elem/s while cumsum/cummax scans are
-    near-free
-    => no gathers on device beyond B-sized window-boundary reads; the
-       positional gather happens on host at memory speed
+  - each device EXECUTION carries ~25 ms of serialized protocol cost
+    that pipelining does NOT hide
+    => samples accumulate into groups of up to ``batch`` (8) and the
+       whole group is scored by ONE execution per slab (_score_runs /
+       _score_batch vmap over sample rows)
+  - the wire runs at only ~40 MB/s in BOTH directions (device_put and
+    result fetches are asynchronous, so transfers overlap host work,
+    but the bytes themselves are the scarce resource)
+    => the per-sample payload is the compact ABSENT-RUN stream
+       (native kcf_bits_to_runs, ~0.15 MB at percent-level variation
+       rates) rather than the 0.65 MB positional bitmap; uploads start
+       the moment a sample is packed, and the bitmap remains the
+       fallback for run-dense samples
+  - XLA TPU random gathers are slow while cumsum/cummax scans run at
+    memory speed
+    => the device reconstructs presence from runs with one scatter +
+       one 8-bit prefix scan and never gathers beyond the B-sized
+       window-boundary reads; the positional gather happens on host
+       at memory speed (kcf_pack_posbits)
   - int64 is emulated on TPU
     => all device math is int32/uint32; the one genuinely 64-bit
        quantity (per-window exact count sums for MeanKmerCount) is
@@ -52,8 +59,6 @@ on the sample and stay with the caller.
 
 import functools
 import os
-import queue
-import threading
 
 from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
 import numpy as np
@@ -88,21 +93,21 @@ def _cummin_rev(x):
     return jax.lax.cummin(x, reverse=True)
 
 
-def _score_batch(bits, cs_tot, w_start, w_hi, *, k: int):
-    """Score S samples over one slab.
+def _scan_core(pr, cs_tot, w_start, w_hi, *, k: int):
+    """One sample's window statistics from per-position presence.
 
-    bits: tuple of S uint8 arrays (slab_pad/8,) - LSB-first positional
-    presence bitmaps; cs_tot: (slab_pad+1,) int32 static prefix counts
-    of valid k-mers; w_start/w_hi: (win_pad,) int32 window first/last
-    k-mer start positions (inclusive, slab coords). Returns
-    (5, S, win_pad) int32 rows: observed, variations, inner, left,
-    right.
+    pr: (n,) bool presence over k-mer start positions; cs_tot:
+    (n+1,) int32 static prefix counts of valid k-mers; w_start/w_hi:
+    (win_pad,) int32 window first/last k-mer start positions
+    (inclusive, slab coords). Returns (5, win_pad) int32 rows:
+    observed, variations, inner, left, right - the gap-run state
+    machine (Plugins/GetVariants.java:219-261, distance correction
+    :267-273) re-expressed as prefix scans + O(1) boundary gathers.
     """
     import jax
     import jax.numpy as jnp
 
-    n = bits[0].shape[0] * 8
-    shifts = jnp.arange(8, dtype=jnp.uint8)
+    n = pr.shape[0]
     vidx = cs_tot[1:] - 1  # valid ordinal at each position (where valid)
     pos = jax.lax.iota(jnp.int32, n)
     s = w_start
@@ -110,94 +115,97 @@ def _score_batch(bits, cs_tot, w_start, w_hi, *, k: int):
     total = cs_tot[hi + 1] - cs_tot[s]
     zero32 = jnp.zeros((1,), jnp.int32)
 
+    pres_ord = jnp.where(pr, vidx, jnp.int32(-1))
+    shifted = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), pres_ord[:-1]]
+    )
+    prev_ord = _cummax(shifted)
+    next_ge = _cummin_rev(jnp.where(pr, pos, jnp.int32(n)))
+    last_le = _cummax(jnp.where(pr, pos, jnp.int32(-1)))
+
+    cs_obs = jnp.concatenate([zero32, _cumsum(pr.astype(jnp.int32))])
+    gap = vidx - prev_ord - 1
+    closed = pr & (prev_ord >= 0) & (gap > 0)
+    d = gap - (k - 1)
+    dist = jnp.where(d > 0, d, jnp.abs(d + 1))
+    cs_var = jnp.concatenate(
+        [zero32, _cumsum(closed.astype(jnp.int32))]
+    )
+    # uint32 modular prefix; per-window diffs are exact (< 2^31)
+    cs_dist = jnp.concatenate(
+        [zero32.astype(jnp.uint32),
+         _cumsum(jnp.where(closed, dist, 0).astype(jnp.uint32))]
+    )
+
+    observed = cs_obs[hi + 1] - cs_obs[s]
+    has = observed > 0
+    fp = jnp.clip(next_ge[s], 0, n - 1)
+    lp = jnp.clip(last_le[hi], 0, n - 1)
+    left = jnp.where(has, cs_tot[fp] - cs_tot[s], 0)
+    right = jnp.where(has, cs_tot[hi + 1] - cs_tot[lp + 1], total)
+    inner = jnp.where(
+        has, cs_dist[hi + 1] - cs_dist[fp + 1], jnp.uint32(0)
+    ).astype(jnp.int32)
+    var_int = jnp.where(has, cs_var[hi + 1] - cs_var[fp + 1], 0)
+    variations = jnp.where(
+        has,
+        var_int + (left > 0) + (right > 0),
+        (total > 0).astype(jnp.int32),
+    )
+    return jnp.stack([observed, variations, inner, left, right])
+
+
+def _score_batch(bits, cs_tot, w_start, w_hi, *, k: int):
+    """Score S samples over one slab in ONE device execution from
+    positional presence BITMAPS. bits: tuple of S (slab_pad/8,) uint8
+    LSB-first bitmaps (uploaded separately per sample so transfers
+    overlap host work). Returns (5, S, win_pad) int32."""
+    import jax
+    import jax.numpy as jnp
+
+    mat = jnp.stack(bits)  # (S, slab_pad/8)
+    n = mat.shape[1] * 8
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+
     def one(b8):
         pr = ((b8[:, None] >> shifts) & jnp.uint8(1)).reshape(n) != 0
-        pres_ord = jnp.where(pr, vidx, jnp.int32(-1))
-        shifted = jnp.concatenate(
-            [jnp.full((1,), -1, jnp.int32), pres_ord[:-1]]
-        )
-        prev_ord = _cummax(shifted)
-        next_ge = _cummin_rev(jnp.where(pr, pos, jnp.int32(n)))
-        last_le = _cummax(jnp.where(pr, pos, jnp.int32(-1)))
+        return _scan_core(pr, cs_tot, w_start, w_hi, k=k)
 
-        cs_obs = jnp.concatenate([zero32, _cumsum(pr.astype(jnp.int32))])
-        gap = vidx - prev_ord - 1
-        closed = pr & (prev_ord >= 0) & (gap > 0)
-        d = gap - (k - 1)
-        dist = jnp.where(d > 0, d, jnp.abs(d + 1))
-        cs_var = jnp.concatenate(
-            [zero32, _cumsum(closed.astype(jnp.int32))]
-        )
-        # uint32 modular prefix; per-window diffs are exact (< 2^31)
-        cs_dist = jnp.concatenate(
-            [zero32.astype(jnp.uint32),
-             _cumsum(jnp.where(closed, dist, 0).astype(jnp.uint32))]
-        )
-
-        observed = cs_obs[hi + 1] - cs_obs[s]
-        has = observed > 0
-        fp = jnp.clip(next_ge[s], 0, n - 1)
-        lp = jnp.clip(last_le[hi], 0, n - 1)
-        left = jnp.where(has, cs_tot[fp] - cs_tot[s], 0)
-        right = jnp.where(has, cs_tot[hi + 1] - cs_tot[lp + 1], total)
-        inner = jnp.where(
-            has, cs_dist[hi + 1] - cs_dist[fp + 1], jnp.uint32(0)
-        ).astype(jnp.int32)
-        var_int = jnp.where(has, cs_var[hi + 1] - cs_var[fp + 1], 0)
-        variations = jnp.where(
-            has,
-            var_int + (left > 0) + (right > 0),
-            (total > 0).astype(jnp.int32),
-        )
-        return jnp.stack([observed, variations, inner, left, right])
-
-    stacked = jnp.stack(bits)  # (S, slab_pad/8)
-    return jnp.moveaxis(jax.vmap(one)(stacked), 0, 1)  # (5, S, win_pad)
+    return jnp.moveaxis(jax.vmap(one)(mat), 0, 1)  # (5, S, win_pad)
 
 
-class _Worker:
-    """Single background thread running keyed jobs (upload + async
-    dispatch) so device round trips overlap the producer's host work.
-    Jobs run in submission order; results are retrieved by key."""
+def _score_runs(d8, l8, cs_tot, w_start, w_hi, *, k: int):
+    """Score S samples over one slab in ONE device execution from
+    compact ABSENT-RUN payloads (native kcf_bits_to_runs encoding:
+    delta u8 from the previous run's end with (255, 0) fillers, length
+    u8 with (0, 255) continuations). d8/l8: tuples of S (run_cap,)
+    uint8 arrays. Presence is reconstructed as one scatter + one
+    8-bit prefix scan - absent stretches are disjoint, so the
+    running +1/-1 prefix stays in {0, 1} - then masked by the static
+    valid bitmap derived from cs_tot (positions the encoding trims or
+    skips are invalid, so the masked reconstruction is exact).
+    Returns (5, S, win_pad) int32."""
+    import jax
+    import jax.numpy as jnp
 
-    def __init__(self):
-        self._q = queue.Queue()
-        self._results = {}
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+    n = cs_tot.shape[0] - 1
+    dm = jnp.stack(d8).astype(jnp.int32)  # (S, R)
+    lm = jnp.stack(l8).astype(jnp.int32)
+    S = dm.shape[0]
+    ends = jnp.cumsum(dm + lm, axis=1)
+    starts = ends - lm
+    rows = jnp.arange(S)[:, None]
+    delta = jnp.zeros((S, n), jnp.int8)
+    delta = delta.at[rows, starts].add(jnp.int8(1), mode="drop")
+    delta = delta.at[rows, ends].add(jnp.int8(-1), mode="drop")
+    absent = jnp.cumsum(delta, axis=1) > 0
+    valid = (cs_tot[1:] > cs_tot[:-1])[None, :]
+    pr = ~absent & valid
 
-    def _run(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            key, fn, event = item
-            try:
-                self._results[key] = fn()
-            except Exception as e:  # surfaced on take()
-                self._results[key] = e
-            event.set()
+    def one(p):
+        return _scan_core(p, cs_tot, w_start, w_hi, k=k)
 
-    def submit(self, key, fn):
-        event = threading.Event()
-        self._q.put((key, fn, event))
-        self._results[key] = event
-
-    def take(self, key):
-        r = self._results.pop(key)
-        if isinstance(r, threading.Event):
-            r.wait()
-            r = self._results.pop(key)
-        if isinstance(r, Exception):
-            raise r
-        return r
-
-    def close(self):
-        self._q.put(None)
-        # join so no worker is mid-runtime-call when the process tears
-        # the backend down (a daemon thread inside a dispatch at exit
-        # aborts some PJRT runtimes)
-        self._thread.join(timeout=30)
+    return jnp.moveaxis(jax.vmap(one)(pr), 0, 1)  # (5, S, win_pad)
 
 
 class _Layout:
@@ -357,6 +365,15 @@ class DevicePrefixScorer:
     per-execution tunnel round trip):
         submit_counts(key, u8, exc_idx, exc_val) per sample, then
         collect(key) -> {chrom: {field: int64 array}}.
+
+    Samples accumulate into a pending group; when ``batch`` samples are
+    queued (or the first collect arrives) the group is stacked into one
+    (S, n_bits) matrix per slab and scored by a SINGLE device execution
+    - on tunnel-attached devices the per-execution round trip (tens of
+    ms) dominates the actual scan, so one execution per group instead
+    of one per sample is what lets the device engine beat the host scan
+    (groups are padded to the fixed ``batch`` so exactly one program is
+    ever compiled per slab shape).
     """
 
     def __init__(self, refidx, k, min_count=1, device=None, batch=None,
@@ -371,18 +388,27 @@ class DevicePrefixScorer:
         self.device = self.devices[0]
         if batch is None:
             batch = int(os.environ.get("KCFTOOLS_DEVICE_BATCH", "8"))
-        self.batch = max(1, int(batch))
+        # the run payload packs one sample per uint8 lane grouping; 8
+        # rows per execution is also where the per-execution round trip
+        # is fully amortized, so the group size is capped there
+        self.batch = max(1, min(8, int(batch)))
+        self.uplink = os.environ.get("KCFTOOLS_DPREFIX_UPLINK", "auto")
         slab = int(
             os.environ.get("KCFTOOLS_DPREFIX_SLAB", str(1 << 26))
         )
         self._layout = _Layout(self.k, slab)
-        self._worker = _Worker()
         self._statics = None  # per-slab device arrays
         self._score_fns = {}
-        self._jobs = {}  # sample key -> worker job token
+        self._pending = []  # queued sample slots awaiting dispatch
+        self._jobs = {}  # sample key -> (group token, row in group)
+        self._group_handles = {}  # group token -> per-slab result handles
         self._csums = {}  # sample key -> per-slab count sums
         self._results = {}  # key -> {chrom: {field: array}}
         self._merge_buf = None  # reused per-sample merge output
+        self._run_cap = None  # sticky run-payload entry budget per slab
+        env_cap = os.environ.get("KCFTOOLS_RUNS_CAP")
+        if env_cap:
+            self._run_cap = max(16, int(env_cap))
         self._seq = 0
 
     # -- reference-side setup ------------------------------------------------
@@ -412,17 +438,22 @@ class DevicePrefixScorer:
                     "cs_tot": jax.device_put(slab["cs_tot"], dev),
                     "w_start": jax.device_put(slab["w_start"], dev),
                     "w_hi": jax.device_put(slab["w_hi"], dev),
+                    # static valid bitmap for the run encoder (host)
+                    "valid_bits": np.packbits(
+                        slab["r_idx"] >= 0, bitorder="little"
+                    ),
                 }
             )
 
-    def _score_fn(self, n_samples):
+    def _score_fn(self, kind):
         import jax
 
-        if n_samples not in self._score_fns:
-            self._score_fns[n_samples] = jax.jit(
-                functools.partial(_score_batch, k=self.k)
+        if kind not in self._score_fns:
+            fn = _score_runs if kind == "runs" else _score_batch
+            self._score_fns[kind] = jax.jit(
+                functools.partial(fn, k=self.k)
             )
-        return self._score_fns[n_samples]
+        return self._score_fns[kind]
 
     # -- per-sample ----------------------------------------------------------
 
@@ -450,28 +481,35 @@ class DevicePrefixScorer:
         self.submit_counts(key, u8, ei, ev)
 
     def submit_counts(self, key, counts_u8, exc_idx, exc_val):
-        """Pack positional presence bits + exact window count sums on
-        host (native), then hand the sample to the worker thread, which
-        uploads the bitmaps and dispatches the device program
-        IMMEDIATELY (async). Dispatches pipeline through the runtime,
-        so every round trip except the final sample's overlaps the next
-        sample's host work - batching is unnecessary for latency hiding
-        and ``batch`` only paces the caller's write-back grouping.
-        key=None marks the single-sample flow."""
-        from ..native import pack_posbits
+        """Pack one sample's payload on host and queue it in the
+        pending group. Per slab the host produces positional presence
+        bits + exact window count sums (native pack_posbits) and, by
+        default, the compact absent-run encoding (native
+        kcf_bits_to_runs, typically ~25x fewer wire bytes than the
+        bitmap - decisive on tunnel-attached devices where the wire
+        runs at tens of MB/s). The payload is handed to the worker
+        thread for IMMEDIATE asynchronous upload, so transfers overlap
+        the next samples' host work. Once ``batch`` samples are queued
+        (immediately for the single-sample flow) the group is
+        dispatched as ONE device execution per slab - the
+        per-execution round trip is paid once per group, not once per
+        sample. key=None marks the single-sample flow."""
+        from ..native import bits_to_runs, pack_posbits
 
         self._finalize()
         if key is None:
             # single-sample flow: a new sample invalidates the old one
             self._results.pop(None, None)
+            self._discard_pending(None)
             old = self._jobs.pop(None, None)
             if old is not None:
-                self._worker.take(old)
+                self._group_handles.pop(old[0], None)
             self._csums.pop(None, None)
         exc_idx = np.ascontiguousarray(exc_idx, np.int32)
         exc_val = np.ascontiguousarray(exc_val, np.uint32)
-        bits_list = []
+        slot = {"key": key, "bits": [], "runs": [], "dev": {}}
         count_sums = []
+        use_runs = self.uplink != "bitmap"
         for si, slab in enumerate(self._layout.slabs):
             bits, csum = pack_posbits(
                 counts_u8, exc_idx, exc_val, slab["r_idx"],
@@ -479,25 +517,116 @@ class DevicePrefixScorer:
                 slab["w_hi"][: slab["n_win"]],
                 n_bits_bytes=self._layout.pos_pad // 8,
             )
-            bits_list.append(bits)
+            slot["bits"].append(bits)
             count_sums.append(csum)
-        token = self._seq
-        self._seq += 1
-        self._worker.submit(token, lambda: self._dispatch_one(bits_list))
-        self._jobs[key] = token
+            if use_runs:
+                if self._run_cap is None:
+                    # bootstrap the sticky per-slab entry budget from
+                    # the first sample: 2x headroom, 4096-granular (one
+                    # compiled program per layout)
+                    scratch = max(4096, self._layout.pos_pad // 16)
+                    d, l, n = bits_to_runs(
+                        bits, self._statics[si]["valid_bits"],
+                        self._layout.pos_pad, scratch,
+                    )
+                    if n >= 0:
+                        cap = max(4096, -(-2 * max(n, 1) // 4096) * 4096)
+                        self._run_cap = min(cap, scratch)
+                        d, l = d[: self._run_cap], l[: self._run_cap]
+                        if n > self._run_cap:  # can't happen; guard
+                            n = -1
+                else:
+                    d, l, n = bits_to_runs(
+                        bits, self._statics[si]["valid_bits"],
+                        self._layout.pos_pad, self._run_cap,
+                    )
+                if n < 0:
+                    use_runs = False  # run-dense sample: bitmap payload
+                else:
+                    slot["runs"].append((d, l))
+        if not use_runs:
+            slot["runs"] = None
+        self._pending.append(slot)
         self._csums[key] = count_sums
+        # eager upload: transfers start now (device_put is asynchronous
+        # - the runtime's transfer thread streams the bytes) and
+        # overlap the next sample's merge/pack on this thread
+        self._upload(slot)
+        if key is None or len(self._pending) >= self.batch:
+            self._flush_pending()
 
-    def _dispatch_one(self, bits_list):
-        """Worker thread: upload each slab's bitmap and launch the
-        scoring program asynchronously; returns the result handles."""
+    def _upload(self, slot):
+        """Start one sample's host->device transfers (async)."""
         import jax
 
-        fn = self._score_fn(1)
+        for si in range(len(self._statics)):
+            dev = self._statics[si]["device"]
+            if slot["runs"] is not None:
+                d, l = slot["runs"][si]
+                slot["dev"][si] = (
+                    jax.device_put(d, dev), jax.device_put(l, dev)
+                )
+            else:
+                slot["dev"][si] = jax.device_put(slot["bits"][si], dev)
+
+    def _discard_pending(self, key):
+        self._pending = [s for s in self._pending if s["key"] != key]
+
+    def _flush_pending(self):
+        """Dispatch the pending group as ONE (asynchronous) execution
+        per slab. Groups are padded to the fixed ``batch`` row count
+        with repeats of the first sample's payload - same device
+        buffers, zero extra wire - so every dispatch reuses one
+        compiled program per slab shape. If every queued sample fits
+        the run budget the compact run program is used; any bitmap
+        sample drops the whole group to the bitmap program (rare;
+        bitmap payloads for run-encoded slots are uploaded on the
+        spot)."""
+        group = self._pending
+        self._pending = []
+        if not group:
+            return
+        token = self._seq
+        self._seq += 1
+        kind = "runs" if all(s["runs"] is not None for s in group) else "bits"
+        if self.uplink == "bitmap":
+            kind = "bits"
+        self._group_handles[token] = self._dispatch_group(group, kind)
+        for row, slot in enumerate(group):
+            self._jobs[slot["key"]] = (token, row)
+
+    def _dispatch_group(self, group, kind):
+        """Launch the batched scoring program for one group; execution
+        and result fetch proceed asynchronously. Returns the per-slab
+        result handles."""
+        import jax
+
+        rows = self.batch
+        fn = self._score_fn(kind)
         handles = []
-        for si, bits in enumerate(bits_list):
+        for si in range(len(self._statics)):
             st = self._statics[si]
-            b = jax.device_put(bits, st["device"])
-            h = fn((b,), st["cs_tot"], st["w_start"], st["w_hi"])
+            args = []
+            for slot in group:
+                if kind == "runs":
+                    args.append(slot["dev"][si])
+                elif slot["runs"] is not None:
+                    # group fell back to bitmaps after this sample's
+                    # run payload was uploaded: ship its bitmap now
+                    args.append(jax.device_put(slot["bits"][si], st["device"]))
+                else:
+                    args.append(slot["dev"][si])
+            while len(args) < rows:
+                args.append(args[0])  # dummy rows reuse sample 0
+            if kind == "runs":
+                h = fn(
+                    tuple(a[0] for a in args), tuple(a[1] for a in args),
+                    st["cs_tot"], st["w_start"], st["w_hi"],
+                )
+            else:
+                h = fn(
+                    tuple(args), st["cs_tot"], st["w_start"], st["w_hi"]
+                )
             # start the device->host copy as soon as the exec finishes,
             # so the fetch round trip overlaps later submits/writes
             try:
@@ -507,14 +636,32 @@ class DevicePrefixScorer:
             handles.append(h)
         return handles
 
+    def _take_group(self, token):
+        """Fetch (once) and cache a dispatched group's result arrays."""
+        arrs = self._group_handles[token]
+        if arrs and not isinstance(arrs[0], np.ndarray):
+            arrs = [np.asarray(h) for h in arrs]
+            self._group_handles[token] = arrs
+        return arrs
+
     def collect(self, key=None):
         """Return {chrom: {field: (n_windows,) int64 array}} for a
-        submitted sample, awaiting its in-flight dispatch as needed."""
+        submitted sample, dispatching its group and awaiting the
+        in-flight execution as needed."""
         if key in self._results:
             return self._results[key]
+        if key not in self._jobs and any(
+            s["key"] == key for s in self._pending
+        ):
+            self._flush_pending()
         if key not in self._jobs:
             raise KeyError(f"no submitted sample {key!r}")
-        handles = self._worker.take(self._jobs.pop(key))
+        token, row = self._jobs.pop(key)
+        group_arrs = self._take_group(token)
+        if not any(t == token for t, _r in self._jobs.values()):
+            # last sample of its group: release the cached group arrays
+            # once sliced below
+            self._group_handles.pop(token, None)
         csums = self._csums.pop(key)
         slabs = self._layout.slabs
         out = {
@@ -523,13 +670,13 @@ class DevicePrefixScorer:
             for name, nw in self._layout.chrom_n_win.items()
         }
         for si, slab in enumerate(slabs):
-            arr = np.asarray(handles[si])  # (5, 1, win_pad)
+            arr = group_arrs[si]  # (5, S, win_pad)
             csum = csums[si]
             for chrom, c_off, s_off, cnt in slab["wins"]:
                 dst = out[chrom]
                 for fi, f in enumerate(_FIELDS):
                     dst[f][c_off : c_off + cnt] = arr[
-                        fi, 0, s_off : s_off + cnt
+                        fi, row, s_off : s_off + cnt
                     ]
                 dst["count_sum"][c_off : c_off + cnt] = csum[
                     s_off : s_off + cnt
@@ -550,4 +697,9 @@ class DevicePrefixScorer:
         self._results.pop(key, None)
 
     def close(self):
-        self._worker.close()
+        """Release queued state. Dispatch is inline/asynchronous, so
+        there is no worker thread to join; uncollected result handles
+        are simply dropped."""
+        self._pending = []
+        self._jobs.clear()
+        self._group_handles.clear()

@@ -119,6 +119,10 @@ def get_lib():
             ctypes.c_int64, ctypes.c_uint32, i32p, i32p, ctypes.c_int64,
             u8p, ctypes.c_int64, u8p, _i64p,
         ]
+        lib.kcf_bits_to_runs.restype = ctypes.c_int64
+        lib.kcf_bits_to_runs.argtypes = [
+            u8p, u8p, ctypes.c_int64, u8p, u8p, ctypes.c_int64,
+        ]
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.kcf_chrom_stats2.restype = None
         lib.kcf_chrom_stats2.argtypes = [
@@ -436,6 +440,79 @@ def pack_posbits(counts_u8, exc_idx, exc_val, r_idx, min_count, w_start,
         hi_cl >= w_start, cs[hi_cl + 1] - cs[w_start], 0
     )
     return out_bits, count_sum
+
+
+def bits_to_runs(present_bits, valid_bits, n_pos, cap):
+    """Compact absent-run encoding of a positional presence bitmap (see
+    kcf_bits_to_runs): maximal stretches with no present position,
+    trimmed to their first/last valid-but-absent position, as a
+    (delta u8, length u8) stream with 255-saturation fillers. Returns
+    (d, l, n_runs) with d/l zero-padded to ``cap``, or (None, None, -1)
+    when the encoding would exceed ``cap`` entries (caller falls back
+    to the bitmap payload). Positions the encoding skips or trims are
+    invalid and masked by the device's static valid bitmap, so the
+    reconstruction is exact wherever it is read."""
+    out_d = np.zeros(cap, np.uint8)
+    out_l = np.zeros(cap, np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = lib.kcf_bits_to_runs(
+            present_bits.ctypes.data_as(u8p),
+            valid_bits.ctypes.data_as(u8p),
+            n_pos,
+            out_d.ctypes.data_as(u8p),
+            out_l.ctypes.data_as(u8p),
+            cap,
+        )
+        if n < 0:
+            return None, None, -1
+        return out_d, out_l, int(n)
+    # numpy fallback: transition scan over the unpacked bitmaps
+    pres = np.unpackbits(present_bits, bitorder="little")[:n_pos].astype(bool)
+    valid = np.unpackbits(valid_bits, bitorder="little")[:n_pos].astype(bool)
+    av = valid & ~pres
+    if not av.any():
+        return out_d, out_l, 0
+    # group = stretch between present positions; trim to valid-absent
+    grp = np.cumsum(pres)  # group id of each position
+    av_pos = np.flatnonzero(av)
+    av_grp = grp[av_pos]
+    # first/last valid-absent of each group that has one
+    new_grp = np.empty(av_grp.shape[0], bool)
+    new_grp[0] = True
+    new_grp[1:] = av_grp[1:] != av_grp[:-1]
+    starts = av_pos[new_grp]
+    ends = av_pos[np.concatenate([new_grp[1:], [True]])] + 1
+    k = 0
+    prev_end = 0
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        d = s - prev_end
+        while d > 255:
+            if k >= cap:
+                return None, None, -1
+            out_d[k] = 255
+            out_l[k] = 0
+            k += 1
+            d -= 255
+        ln = e - s
+        take = min(ln, 255)
+        if k >= cap:
+            return None, None, -1
+        out_d[k] = d
+        out_l[k] = take
+        k += 1
+        ln -= take
+        while ln > 0:
+            take = min(ln, 255)
+            if k >= cap:
+                return None, None, -1
+            out_d[k] = 0
+            out_l[k] = take
+            k += 1
+            ln -= take
+        prev_end = e
+    return out_d, out_l, k
 
 
 def sort_pairs(keys, vals):

@@ -2134,5 +2134,126 @@ void kcf_pack_posbits(const uint8_t* counts, int64_t n_counts,
   for (auto& w : workers) w.join();
 }
 
+// ---------------------------------------------------------------------------
+// Compact absent-run uplink for the device engine.
+//
+// The tunnel-attached device pays ~tens of ms of latency per execution
+// AND ~tens of MB/s of wire bandwidth, so the cheapest payload wins:
+// instead of a 1-bit-per-position presence bitmap (n/8 bytes), ship the
+// RUNS of absent positions as a (delta, length) u8 stream - typically
+// ~25x smaller at percent-level variation rates. The device
+// reconstructs per-position presence with one scatter + one prefix
+// scan (engine/device_prefix.py::_score_runs) and feeds the same scan
+// pipeline, so per-sample results stay bit-identical to the host
+// engine (Plugins/GetVariants.java:202-261 semantics).
+//
+// Emission rule: a run is a maximal stretch of consecutive positions
+// with no PRESENT position inside, trimmed to its first/last
+// valid-but-absent position; stretches containing no valid-absent
+// position (pure N-region / slab padding) emit nothing. Trimmed-away
+// and skipped positions are invalid, and the device masks presence
+// with the static valid bitmap, so any absent-value there is
+// irrelevant. Encoding: delta = gap from the previous run's end (u8,
+// 255-saturated with (255,0) fillers), length u8 (255-saturated with
+// (0,255) continuations). Returns the entry count, or -1 when ``cap``
+// would overflow (caller falls back to the bitmap payload).
+int64_t kcf_bits_to_runs(const uint8_t* present_bits,
+                         const uint8_t* valid_bits, int64_t n_pos,
+                         uint8_t* out_d, uint8_t* out_l, int64_t cap) {
+  int64_t n_words = (n_pos + 63) / 64;
+  int64_t k = 0;
+  int64_t prev_end = 0;   // end (exclusive) of the last emitted run
+  int64_t first_av = -1;  // first valid-absent since the last present
+  int64_t last_av = -1;   // last valid-absent since the last present
+  auto emit = [&](int64_t s, int64_t e) -> bool {
+    int64_t d = s - prev_end;
+    while (d > 255) {
+      if (k >= cap) return false;
+      out_d[k] = 255;
+      out_l[k] = 0;
+      ++k;
+      d -= 255;
+    }
+    int64_t len = e - s;
+    int64_t take = len < 255 ? len : 255;
+    if (k >= cap) return false;
+    out_d[k] = (uint8_t)d;
+    out_l[k] = (uint8_t)take;
+    ++k;
+    len -= take;
+    while (len > 0) {
+      take = len < 255 ? len : 255;
+      if (k >= cap) return false;
+      out_d[k] = 0;
+      out_l[k] = (uint8_t)take;
+      ++k;
+      len -= take;
+    }
+    prev_end = e;
+    return true;
+  };
+  // Transition-driven scan: per word, the not-present stretches'
+  // edges are ~(runs/word) bits, so the inner ctz loop touches only
+  // stretch boundaries + valid-absent endpoints - O(runs), not
+  // O(positions) (the all-present fast path skips most words whole).
+  for (int64_t w = 0; w < n_words; ++w) {
+    uint64_t pr = 0, vv = 0;
+    int64_t nb = (w == n_words - 1) ? (n_pos + 7) / 8 - w * 8 : 8;
+    std::memcpy(&pr, present_bits + w * 8, (size_t)nb);
+    std::memcpy(&vv, valid_bits + w * 8, (size_t)nb);
+    uint64_t av = vv & ~pr;
+    if (w == n_words - 1 && (n_pos & 63)) {
+      uint64_t mask = (~0ull) >> (64 - (n_pos & 63));
+      pr &= mask;
+      av &= mask;
+    }
+    int64_t base = w * 64;
+    if (av == 0) {
+      // no valid-absent here; the first present bit closes an open
+      // trimmed group
+      if (first_av >= 0 && pr) {
+        if (!emit(first_av, last_av + 1)) return -1;
+        first_av = last_av = -1;
+      }
+      continue;
+    }
+    if (pr == 0) {
+      // no present bit: the whole word extends the open group; only
+      // its first/last valid-absent matter
+      if (first_av < 0) first_av = base + __builtin_ctzll(av);
+      last_av = base + 63 - __builtin_clzll(av);
+      continue;
+    }
+    // mixed word: walk present↔not-present boundaries only
+    int b = 0;
+    while (b < 64) {
+      uint64_t tail = ~pr >> b;  // not-present from b upward
+      if (pr & (1ull << b)) {
+        // skip the present stretch; it closes any open group
+        if (first_av >= 0) {
+          if (!emit(first_av, last_av + 1)) return -1;
+          first_av = last_av = -1;
+        }
+        if (tail == 0) break;  // present to end of word
+        b += __builtin_ctzll(tail);
+        continue;
+      }
+      // not-present stretch [b, b+len)
+      uint64_t prt = pr >> b;
+      int len = prt ? __builtin_ctzll(prt) : 64 - b;
+      uint64_t seg = av >> b;
+      if (len < 64) seg &= (1ull << len) - 1;
+      if (seg) {
+        int64_t f = base + b + __builtin_ctzll(seg);
+        if (first_av < 0) first_av = f;
+        last_av = base + b + 63 - __builtin_clzll(seg);
+      }
+      b += len;
+    }
+  }
+  if (first_av >= 0 && !emit(first_av, last_av + 1)) return -1;
+  return k;
+}
+
 }  // extern "C"
 
