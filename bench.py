@@ -9,11 +9,14 @@ ladder config. BOTH engines are measured and the champion reported:
   - ``hybrid``  - pure-host path (AVX-512 merge join + fused native
     window scan), the single-chip default.
   - ``dprefix`` - device-resident scorer: the host performs the merge
-    join and packs a positional presence bitmap + exact per-window
-    count sums (native kcf_pack_posbits); the device executes the whole
-    per-window gap-run state machine (GetVariants.java:202-261
-    semantics) as batched int32 prefix scans, several samples per
-    dispatch.
+    join, packs positional presence + exact per-window count sums
+    (native kcf_pack_posbits), and re-encodes presence as a compact
+    absent-run stream (native kcf_bits_to_runs, ~25x fewer wire bytes
+    than a bitmap); up to 8 samples are scored per single device
+    execution - the device reconstructs presence from the runs and
+    replays the whole per-window gap-run state machine
+    (GetVariants.java:202-261 semantics) as batched int32 prefix
+    scans.
 
 Additional rungs, all timed on REAL FILES through the actual CLI entry
 points (the command, not the kernel):
@@ -34,11 +37,16 @@ kmer/s => ~3200 windows/s at 5 kb windows). It is a modeled ratio, not
 a measured one; ``baseline_estimated: true`` marks it in the output.
 
 Environment note: this image reaches one TPU chip through a tunnel
-costing tens of ms per dispatch+fetch round trip on a 2-core host. The
-two engines share their dominant per-sample host cost (the merge join),
-so the host path usually wins the duel HERE; on locally attached
-devices the dispatch tax shrinks ~30x and the balance flips as sample
-counts grow. Both numbers are always reported so the trade is visible.
+measured (round 3) at ~25 ms of serialized protocol cost per device
+EXECUTION and ~40 MB/s of wire bandwidth in both directions, on a
+2-core host. The engines share the per-sample merge join, and the
+positional gather the device uplink needs (kcf_pack_posbits) costs
+about as much as the host's full fused scan - so the host path wins
+the duel HERE whenever the host cores are idle, while the device path
+clears the >=10x-baseline target standalone. On locally attached
+devices the execution tax and wire limits drop ~1000x and the same
+code wins outright. Both numbers are always reported so the trade is
+visible.
 """
 
 import contextlib

@@ -70,6 +70,9 @@ def main():
                     help="Verify pass-count math and per-shard checksums")
     ap.add_argument("--keep", action="store_true",
                     help="Keep the generated DB files")
+    ap.add_argument("--db", default=None,
+                    help="Reuse an existing KMC DB prefix instead of "
+                    "generating one (implies --keep)")
     ap.add_argument("--_generate", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -85,18 +88,23 @@ def main():
     from kcftools_tpu.parallel.loader import ShardedTableLoader
     from kcftools_tpu.parallel.mesh import make_mesh
 
-    tmp = tempfile.mkdtemp(prefix="kcf_ingest_")
-    prefix = os.path.join(tmp, "db")
-    print(f"generating {args.records:,} unique {args.k}-mers ...")
-    # generate in a child process so its RSS high-water mark does not
-    # mask the ingest measurement
-    import subprocess
+    if args.db:
+        tmp = None
+        prefix = args.db
+        args.keep = True
+    else:
+        tmp = tempfile.mkdtemp(prefix="kcf_ingest_")
+        prefix = os.path.join(tmp, "db")
+        print(f"generating {args.records:,} unique {args.k}-mers ...")
+        # generate in a child process so its RSS high-water mark does
+        # not mask the ingest measurement
+        import subprocess
 
-    subprocess.run(
-        [sys.executable, __file__, "--_generate", prefix,
-         "--records", str(args.records), "--k", str(args.k)],
-        check=True,
-    )
+        subprocess.run(
+            [sys.executable, __file__, "--_generate", prefix,
+             "--records", str(args.records), "--k", str(args.k)],
+            check=True,
+        )
     db_bytes = os.path.getsize(prefix + ".kmc_suf")
     print(f"db on disk: {db_bytes / 1e6:.0f} MB")
 
@@ -138,7 +146,7 @@ def main():
         _check_shards(loader, tbl, nb_total, mesh)
         print("per-shard checksums: OK")
 
-    if not args.keep:
+    if not args.keep and tmp is not None:
         for s in (".kmc_pre", ".kmc_suf"):
             os.unlink(prefix + s)
         os.rmdir(tmp)

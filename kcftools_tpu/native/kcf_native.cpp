@@ -1296,6 +1296,38 @@ void radix_scatter_range(const uint64_t* keys, const uint32_t* vals,
   }
 }
 
+// Stable full-key sort of one equal-hi32 span: insertion for the tiny
+// spans uniform k-mer keys produce, std::stable_sort for pathological
+// skews (keeps the whole sort O(n log n) worst case).
+void sort_span_pairs(uint64_t* k, uint32_t* v, int64_t lo, int64_t hi) {
+  int64_t len = hi - lo;
+  if (len <= 32) {
+    for (int64_t i = lo + 1; i < hi; ++i) {
+      uint64_t kk = k[i];
+      uint32_t vv = v[i];
+      int64_t j = i;
+      while (j > lo && k[j - 1] > kk) {
+        k[j] = k[j - 1];
+        v[j] = v[j - 1];
+        --j;
+      }
+      k[j] = kk;
+      v[j] = vv;
+    }
+    return;
+  }
+  std::vector<std::pair<uint64_t, uint32_t>> tmp((size_t)len);
+  for (int64_t i = 0; i < len; ++i) tmp[i] = {k[lo + i], v[lo + i]};
+  std::stable_sort(tmp.begin(), tmp.end(),
+                   [](const auto& a, const auto& b) {
+                     return a.first < b.first;
+                   });
+  for (int64_t i = 0; i < len; ++i) {
+    k[lo + i] = tmp[i].first;
+    v[lo + i] = tmp[i].second;
+  }
+}
+
 }  // namespace
 
 void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
@@ -1310,6 +1342,21 @@ void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
   for (int64_t i = 0; i < n; ++i) mx |= keys[i];
   int passes = 1;
   while (passes < 4 && (mx >> (16 * passes)) != 0) ++passes;
+  // Wide keys (> 32 bits): radix only the TOP 32 bits below the MSB -
+  // canonical k-mer keys are near-uniform there, so equal-top spans
+  // are tiny - then finish each span with a stable full-key
+  // comparison sort. Halves the scatter passes (the cache-hostile
+  // part) vs classic LSD on 62-bit keys.
+  int top = 64 - __builtin_clzll(mx | 1);
+  bool top_mode = top > 32;
+  int shifts[4] = {0, 16, 32, 48};
+  int hi_shift = 0;
+  if (top_mode) {
+    passes = 2;
+    hi_shift = top - 32;  // spans keyed on a full 32 bits of entropy
+    shifts[0] = hi_shift;
+    shifts[1] = hi_shift + 16;
+  }
 
   int T = pick_threads(n, 1 << 17);
   int64_t step = (n + T - 1) / T;
@@ -1321,7 +1368,7 @@ void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
   // in out
   bool into_out = (passes % 2) == 1;
   for (int p = 0; p < passes; ++p) {
-    int shift = 16 * p;
+    int shift = shifts[p];
     uint64_t* dst_k = into_out ? out_k : scratch.k.data();
     uint32_t* dst_v = into_out ? out_v : scratch.v.data();
     if (T == 1) {
@@ -1359,6 +1406,18 @@ void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
     src_k = dst_k;
     src_v = dst_v;
     into_out = !into_out;
+  }
+  if (top_mode) {
+    // fix pass: walk equal-top-bits spans (expected length ~1 for
+    // k-mer keys) and order each by full key
+    int64_t i = 0;
+    while (i < n) {
+      uint64_t hi = out_k[i] >> hi_shift;
+      int64_t j = i + 1;
+      while (j < n && (out_k[j] >> hi_shift) == hi) ++j;
+      if (j - i > 1) sort_span_pairs(out_k, out_v, i, j);
+      i = j;
+    }
   }
 }
 

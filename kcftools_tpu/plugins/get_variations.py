@@ -396,10 +396,30 @@ def _sort_db(kmc, k):
 
 def _build_window_plan(args, index, refidx, k):
     """Per-chromosome window geometry + sample-independent stats (total
-    k-mers, effective length), computed once per reference and reused by
-    every sample's fused scan."""
+    k-mers, effective length), computed once per (reference, k, window
+    geometry) and reused by every sample's fused scan. The stats are
+    cached in a staleness-checked sidecar next to the reference (like
+    the k-mer index cache) so repeated runs skip the prefix-sum pass."""
+    names = index.get_sequence_names()
+    cache = (
+        f"{args.reference}.kcfplan.k{k}.w{args.window}.p{args.step}.npz"
+    )
+    cached = None
+    if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(
+        args.reference
+    ):
+        try:
+            with np.load(cache, allow_pickle=False) as z:
+                if [str(n) for n in z["chrom_names"]] == list(names):
+                    cached = {
+                        str(n): (z[f"total_{i}"], z[f"eff_{i}"])
+                        for i, n in enumerate(names)
+                        if f"total_{i}" in z.files
+                    }
+        except Exception as e:
+            Logger.warning(_CLASS, f"Ignoring bad plan cache {cache}: {e}")
     plan = {}
-    for name in index.get_sequence_names():
+    for name in names:
         seq_len = index.get_sequence_length(name)
         if args.step > 0:
             starts, ends = sliding_windows(seq_len, args.window, args.step, k)
@@ -408,16 +428,28 @@ def _build_window_plan(args, index, refidx, k):
         if len(starts) == 0:
             plan[name] = None
             continue
-        r_idx = refidx.chrom_r_idx[name]
-        _codes, valid = index.sequence_codes(name)
-        total, eff = static_window_stats(r_idx, valid, k, starts, ends)
+        if cached is not None and name in cached:
+            total, eff = cached[name]
+        else:
+            r_idx = refidx.chrom_r_idx[name]
+            _codes, valid = index.sequence_codes(name)
+            total, eff = static_window_stats(r_idx, valid, k, starts, ends)
         plan[name] = {
             "starts": starts,
             "ends": ends,
             "total": total,
             "eff": eff,
-            "valid": valid,
         }
+    if cached is None:
+        try:
+            payload = {"chrom_names": np.array(list(names))}
+            for i, name in enumerate(names):
+                if plan[name] is not None:
+                    payload[f"total_{i}"] = plan[name]["total"]
+                    payload[f"eff_{i}"] = plan[name]["eff"]
+            np.savez(cache, **payload)
+        except Exception as e:
+            Logger.warning(_CLASS, f"Could not cache plan at {cache}: {e}")
     return plan
 
 
@@ -748,9 +780,7 @@ def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k,
         res["total"] = pl["total"]
         res["eff_length"] = pl["eff"]
     else:
-        valid = (
-            pl["valid"] if pl is not None else index.sequence_codes(name)[1]
-        )
+        valid = index.sequence_codes(name)[1]
         st = chromosome_stats_indirect(
             counts_r, r_idx, valid, args.min_k_count, k
         )
