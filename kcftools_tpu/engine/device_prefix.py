@@ -72,6 +72,15 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _pad_u8(arr, cap):
+    """Zero-pad a u8 run array to ``cap`` entries ((0, 0) = no-op)."""
+    if arr.shape[0] >= cap:
+        return arr[:cap]
+    out = np.zeros(cap, np.uint8)
+    out[: arr.shape[0]] = arr
+    return out
+
+
 _SCAN_BLK = 512  # slab padding granule (keeps reshape-based scans legal)
 
 
@@ -407,6 +416,7 @@ class DevicePrefixScorer:
         self._merge_buf = None  # reused per-sample merge output
         self._run_cap = None  # sticky run-payload entry budget per slab
         env_cap = os.environ.get("KCFTOOLS_RUNS_CAP")
+        self._cap_fixed = bool(env_cap)  # explicit cap: never grown
         if env_cap:
             self._run_cap = max(16, int(env_cap))
         self._seq = 0
@@ -502,7 +512,11 @@ class DevicePrefixScorer:
             self._results.pop(None, None)
             self._discard_pending(None)
             old = self._jobs.pop(None, None)
-            if old is not None:
+            if old is not None and not any(
+                t == old[0] for t, _r in self._jobs.values()
+            ):
+                # drop the stale group's handles only when no keyed
+                # sample still references them (flows may be mixed)
                 self._group_handles.pop(old[0], None)
             self._csums.pop(None, None)
         exc_idx = np.ascontiguousarray(exc_idx, np.int32)
@@ -540,6 +554,32 @@ class DevicePrefixScorer:
                         bits, self._statics[si]["valid_bits"],
                         self._layout.pos_pad, self._run_cap,
                     )
+                    if n < 0 and not self._cap_fixed:
+                        # denser than the sticky budget: GROW the
+                        # budget (one extra compile at the new shape)
+                        # rather than falling back to bitmaps for the
+                        # rest of the run (an explicitly configured
+                        # KCFTOOLS_RUNS_CAP is never grown). The
+                        # in-flight group ships first at the old
+                        # shape; this sample's already-encoded slabs
+                        # zero-pad (a (0, 0) entry is a no-op run).
+                        scratch = max(4096, self._layout.pos_pad // 16)
+                        d, l, n = bits_to_runs(
+                            bits, self._statics[si]["valid_bits"],
+                            self._layout.pos_pad, scratch,
+                        )
+                        if n >= 0:
+                            self._flush_pending()
+                            cap = min(
+                                scratch,
+                                max(4096, -(-2 * n // 4096) * 4096),
+                            )
+                            slot["runs"] = [
+                                (_pad_u8(dd, cap), _pad_u8(ll, cap))
+                                for dd, ll in slot["runs"]
+                            ]
+                            self._run_cap = cap
+                            d, l = d[:cap], l[:cap]
                 if n < 0:
                     use_runs = False  # run-dense sample: bitmap payload
                 else:
@@ -589,8 +629,6 @@ class DevicePrefixScorer:
         token = self._seq
         self._seq += 1
         kind = "runs" if all(s["runs"] is not None for s in group) else "bits"
-        if self.uplink == "bitmap":
-            kind = "bits"
         self._group_handles[token] = self._dispatch_group(group, kind)
         for row, slot in enumerate(group):
             self._jobs[slot["key"]] = (token, row)

@@ -48,6 +48,9 @@ _CLASS = "GetVariants"
 # target number of base positions per device batch
 _BATCH_POSITIONS = 1 << 22
 
+# bump when the semantics of the cached window-plan arrays change
+_PLAN_VERSION = 1
+
 
 def add_parser(subparsers):
     p = subparsers.add_parser(
@@ -410,7 +413,11 @@ def _build_window_plan(args, index, refidx, k):
     ):
         try:
             with np.load(cache, allow_pickle=False) as z:
-                if [str(n) for n in z["chrom_names"]] == list(names):
+                if (
+                    "format_version" in z.files
+                    and int(z["format_version"][0]) == _PLAN_VERSION
+                    and [str(n) for n in z["chrom_names"]] == list(names)
+                ):
                     cached = {
                         str(n): (z[f"total_{i}"], z[f"eff_{i}"])
                         for i, n in enumerate(names)
@@ -442,7 +449,10 @@ def _build_window_plan(args, index, refidx, k):
         }
     if cached is None:
         try:
-            payload = {"chrom_names": np.array(list(names))}
+            payload = {
+                "format_version": np.array([_PLAN_VERSION]),
+                "chrom_names": np.array(list(names)),
+            }
             for i, name in enumerate(names):
                 if plan[name] is not None:
                     payload[f"total_{i}"] = plan[name]["total"]
@@ -780,7 +790,13 @@ def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k,
         res["total"] = pl["total"]
         res["eff_length"] = pl["eff"]
     else:
-        valid = index.sequence_codes(name)[1]
+        # numpy fallback: memoize the validity mask on the plan so a
+        # multi-sample run decodes each chromosome once, not per sample
+        valid = pl.get("valid") if pl is not None else None
+        if valid is None:
+            valid = index.sequence_codes(name)[1]
+            if pl is not None:
+                pl["valid"] = valid
         st = chromosome_stats_indirect(
             counts_r, r_idx, valid, args.min_k_count, k
         )

@@ -179,6 +179,71 @@ def test_runs_cap_overflow_falls_back(rng, monkeypatch):
             )
 
 
+def test_mixed_keyed_and_single_sample_flows(rng, monkeypatch):
+    """A keyed sample grouped with a key=None sample must stay
+    collectable after a later key=None submit invalidates the old
+    single-sample slot (the group's handles are shared)."""
+    k = 21
+    genome, valid, refk, r_idx, starts, ends = _setup(rng, 20000, k)
+    dbs = [_sample(rng, genome, valid, k, 0.02) for _ in range(3)]
+    monkeypatch.setenv("KCFTOOLS_DPREFIX_UPLINK", "auto")
+    scorer = DevicePrefixScorer(_FakeRefIdx(refk.size), k, min_count=1)
+    scorer.add_chrom("c1", r_idx, starts, ends)
+    try:
+        u8, ei, ev = merge_counts_u8(refk, *dbs[0])
+        scorer.submit_counts("a", u8, ei, ev)
+        u8, ei, ev = merge_counts_u8(refk, *dbs[1])
+        scorer.submit_counts(None, u8, ei, ev)  # flushes {a, None}
+        u8, ei, ev = merge_counts_u8(refk, *dbs[2])
+        scorer.submit_counts(None, u8, ei, ev)  # invalidates old None
+        got = scorer.collect("a")["c1"]
+    finally:
+        scorer.close()
+    host = _host(refk, *dbs[0], r_idx, valid, 1, k, starts, ends)
+    for f in _FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(got[f], np.int64),
+            np.asarray(host[f], np.int64)[: len(starts)],
+            err_msg=f,
+        )
+
+
+def test_run_cap_grows_for_denser_samples(rng, monkeypatch):
+    """A bootstrapped (non-explicit) run budget must grow when a later
+    sample is denser, keeping the compact payload in play - and every
+    sample's results stay exact across the growth."""
+    k = 21
+    genome, valid, refk, r_idx, starts, ends = _setup(rng, 30000, k)
+    sparse = _sample(rng, genome, valid, k, 0.001)
+    dense = _sample(rng, genome, valid, k, 0.05)
+    dbs = [sparse, dense, dense]
+    monkeypatch.setenv("KCFTOOLS_DPREFIX_UPLINK", "auto")
+    scorer = DevicePrefixScorer(_FakeRefIdx(refk.size), k, min_count=1)
+    scorer.add_chrom("c1", r_idx, starts, ends)
+    try:
+        for i, (db, dbc) in enumerate(dbs):
+            u8, ei, ev = merge_counts_u8(refk, db, dbc)
+            scorer.submit_counts(i, u8, ei, ev)
+            if i == 0:
+                # simulate a very sparse bootstrap: shrink the sticky
+                # budget below the dense samples' run counts
+                assert scorer._run_cap is not None
+                scorer._run_cap = 16
+        out = [scorer.collect(i)["c1"] for i in range(len(dbs))]
+        assert scorer._run_cap > 16  # the budget grew
+        assert set(scorer._score_fns) == {"runs"}  # no bitmap fallback
+    finally:
+        scorer.close()
+    for i, (db, dbc) in enumerate(dbs):
+        host = _host(refk, db, dbc, r_idx, valid, 1, k, starts, ends)
+        for f in _FIELDS:
+            np.testing.assert_array_equal(
+                np.asarray(out[i][f], np.int64),
+                np.asarray(host[f], np.int64)[: len(starts)],
+                err_msg=f"sample {i} {f}",
+            )
+
+
 def test_mixed_group_falls_back(rng, monkeypatch):
     """First sample fits the sticky run budget, a later much denser one
     overflows it: the whole group must drop to the bitmap program and
