@@ -442,6 +442,15 @@ class DevicePrefixScorer:
         self._statics = []
         for si, slab in enumerate(self._layout.slabs):
             dev = self.devices[si % len(self.devices)]
+            nw = slab["n_win"]
+            ws = slab["w_start"][:nw]
+            wh = slab["w_hi"][:nw]
+            # the fused uplink pass needs sorted, non-overlapping
+            # windows (tiling mode and most feature layouts)
+            fusable = bool(
+                nw < 2
+                or ((ws[1:] > wh[:-1]).all() and (ws[1:] >= ws[:-1]).all())
+            )
             self._statics.append(
                 {
                     "device": dev,
@@ -452,6 +461,7 @@ class DevicePrefixScorer:
                     "valid_bits": np.packbits(
                         slab["r_idx"] >= 0, bitorder="little"
                     ),
+                    "fusable": fusable,
                 }
             )
 
@@ -492,19 +502,20 @@ class DevicePrefixScorer:
 
     def submit_counts(self, key, counts_u8, exc_idx, exc_val):
         """Pack one sample's payload on host and queue it in the
-        pending group. Per slab the host produces positional presence
-        bits + exact window count sums (native pack_posbits) and, by
-        default, the compact absent-run encoding (native
-        kcf_bits_to_runs, typically ~25x fewer wire bytes than the
+        pending group. By default each slab is encoded as the compact
+        absent-run stream (~25x fewer wire bytes than a presence
         bitmap - decisive on tunnel-attached devices where the wire
-        runs at tens of MB/s). The payload is handed to the worker
-        thread for IMMEDIATE asynchronous upload, so transfers overlap
-        the next samples' host work. Once ``batch`` samples are queued
+        runs at tens of MB/s) together with exact per-window count
+        sums, in ONE fused native pass (kcf_pack_runs_fused) when the
+        slab's windows are sorted and non-overlapping, or via
+        pack_posbits + kcf_bits_to_runs otherwise. Payload transfers
+        start immediately (asynchronous device_put), overlapping the
+        next samples' host work. Once ``batch`` samples are queued
         (immediately for the single-sample flow) the group is
         dispatched as ONE device execution per slab - the
         per-execution round trip is paid once per group, not once per
         sample. key=None marks the single-sample flow."""
-        from ..native import bits_to_runs, pack_posbits
+        from ..native import pack_posbits
 
         self._finalize()
         if key is None:
@@ -524,67 +535,23 @@ class DevicePrefixScorer:
         slot = {"key": key, "bits": [], "runs": [], "dev": {}}
         count_sums = []
         use_runs = self.uplink != "bitmap"
-        for si, slab in enumerate(self._layout.slabs):
-            bits, csum = pack_posbits(
-                counts_u8, exc_idx, exc_val, slab["r_idx"],
-                self.min_count, slab["w_start"][: slab["n_win"]],
-                slab["w_hi"][: slab["n_win"]],
-                n_bits_bytes=self._layout.pos_pad // 8,
-            )
-            slot["bits"].append(bits)
-            count_sums.append(csum)
-            if use_runs:
-                if self._run_cap is None:
-                    # bootstrap the sticky per-slab entry budget from
-                    # the first sample: 2x headroom, 4096-granular (one
-                    # compiled program per layout)
-                    scratch = max(4096, self._layout.pos_pad // 16)
-                    d, l, n = bits_to_runs(
-                        bits, self._statics[si]["valid_bits"],
-                        self._layout.pos_pad, scratch,
-                    )
-                    if n >= 0:
-                        cap = max(4096, -(-2 * max(n, 1) // 4096) * 4096)
-                        self._run_cap = min(cap, scratch)
-                        d, l = d[: self._run_cap], l[: self._run_cap]
-                        if n > self._run_cap:  # can't happen; guard
-                            n = -1
-                else:
-                    d, l, n = bits_to_runs(
-                        bits, self._statics[si]["valid_bits"],
-                        self._layout.pos_pad, self._run_cap,
-                    )
-                    if n < 0 and not self._cap_fixed:
-                        # denser than the sticky budget: GROW the
-                        # budget (one extra compile at the new shape)
-                        # rather than falling back to bitmaps for the
-                        # rest of the run (an explicitly configured
-                        # KCFTOOLS_RUNS_CAP is never grown). The
-                        # in-flight group ships first at the old
-                        # shape; this sample's already-encoded slabs
-                        # zero-pad (a (0, 0) entry is a no-op run).
-                        scratch = max(4096, self._layout.pos_pad // 16)
-                        d, l, n = bits_to_runs(
-                            bits, self._statics[si]["valid_bits"],
-                            self._layout.pos_pad, scratch,
-                        )
-                        if n >= 0:
-                            self._flush_pending()
-                            cap = min(
-                                scratch,
-                                max(4096, -(-2 * n // 4096) * 4096),
-                            )
-                            slot["runs"] = [
-                                (_pad_u8(dd, cap), _pad_u8(ll, cap))
-                                for dd, ll in slot["runs"]
-                            ]
-                            self._run_cap = cap
-                            d, l = d[:cap], l[:cap]
-                if n < 0:
-                    use_runs = False  # run-dense sample: bitmap payload
-                else:
-                    slot["runs"].append((d, l))
+        if use_runs and not self._pack_runs_sample(
+            slot, count_sums, counts_u8, exc_idx, exc_val
+        ):
+            # run-dense sample (or hard cap): redo as bitmap payload
+            use_runs = False
+            slot["bits"], slot["runs"] = [], []
+            count_sums = []
         if not use_runs:
+            for slab in self._layout.slabs:
+                bits, csum = pack_posbits(
+                    counts_u8, exc_idx, exc_val, slab["r_idx"],
+                    self.min_count, slab["w_start"][: slab["n_win"]],
+                    slab["w_hi"][: slab["n_win"]],
+                    n_bits_bytes=self._layout.pos_pad // 8,
+                )
+                slot["bits"].append(bits)
+                count_sums.append(csum)
             slot["runs"] = None
         self._pending.append(slot)
         self._csums[key] = count_sums
@@ -594,6 +561,88 @@ class DevicePrefixScorer:
         self._upload(slot)
         if key is None or len(self._pending) >= self.batch:
             self._flush_pending()
+
+    def _encode_with_cap(self, encode):
+        """Run a run-encoder under the sticky per-slab entry budget:
+        bootstrap it from the first sample (2x headroom,
+        4096-granular), and GROW it when a later sample is denser (the
+        in-flight group ships first at the old shape; one extra
+        compile at the new shape) - unless KCFTOOLS_RUNS_CAP pinned it.
+        ``encode(cap)`` returns (d, l, n); n < 0 = overflow. Returned
+        arrays may exceed the final cap; the caller normalizes."""
+        scratch = max(4096, self._layout.pos_pad // 16)
+        if self._run_cap is None:
+            d, l, n = encode(scratch)
+            if n >= 0:
+                cap = max(4096, -(-2 * max(n, 1) // 4096) * 4096)
+                self._run_cap = min(cap, scratch)
+            return d, l, n
+        d, l, n = encode(self._run_cap)
+        if n < 0 and not self._cap_fixed:
+            d, l, n = encode(scratch)
+            if n >= 0:
+                self._flush_pending()  # old-shape group ships as-is
+                cap = max(4096, -(-2 * n // 4096) * 4096)
+                self._run_cap = min(cap, scratch)
+        return d, l, n
+
+    def _pack_runs_sample(self, slot, count_sums, counts_u8, exc_idx,
+                          exc_val):
+        """Encode one sample's run payload + count sums for every
+        slab: the fused single-pass kernel where the slab's windows
+        allow it, pack_posbits + bits_to_runs otherwise. Returns False
+        when the sample cannot fit the run budget (caller redoes it as
+        a bitmap payload)."""
+        from ..native import bits_to_runs, pack_posbits, pack_runs_fused
+
+        for si, slab in enumerate(self._layout.slabs):
+            st = self._statics[si]
+            nw = slab["n_win"]
+            ws = slab["w_start"][:nw]
+            wh = slab["w_hi"][:nw]
+            bits = None
+            n = -2
+            csum = None
+            if st["fusable"]:
+                res = {}
+
+                def enc(cap, _res=res, _ws=ws, _wh=wh, _slab=slab):
+                    d, l, n2, _res["csum"] = pack_runs_fused(
+                        counts_u8, exc_idx, exc_val, _slab["r_idx"],
+                        self.min_count, _ws, _wh, cap,
+                    )
+                    return d, l, n2
+
+                d, l, n = self._encode_with_cap(enc)
+                csum = res.get("csum")
+                if n == -2:
+                    st["fusable"] = False  # defensive: kernel disagreed
+            if not st["fusable"]:
+                bits, csum = pack_posbits(
+                    counts_u8, exc_idx, exc_val, slab["r_idx"],
+                    self.min_count, ws, wh,
+                    n_bits_bytes=self._layout.pos_pad // 8,
+                )
+
+                def enc2(cap, _bits=bits, _vb=st["valid_bits"]):
+                    return bits_to_runs(
+                        _bits, _vb, self._layout.pos_pad, cap
+                    )
+
+                d, l, n = self._encode_with_cap(enc2)
+            if n < 0:
+                return False
+            slot["bits"].append(bits)
+            slot["runs"].append((d, l))
+            count_sums.append(csum)
+        # normalize every slab's arrays to the final budget (growth and
+        # bootstrap may have produced other sizes; zero entries are
+        # no-op runs, oversize tails beyond n are zeros)
+        cap = self._run_cap
+        slot["runs"] = [
+            (_pad_u8(d, cap), _pad_u8(l, cap)) for d, l in slot["runs"]
+        ]
+        return True
 
     def _upload(self, slot):
         """Start one sample's host->device transfers (async)."""
@@ -651,7 +700,17 @@ class DevicePrefixScorer:
                 elif slot["runs"] is not None:
                     # group fell back to bitmaps after this sample's
                     # run payload was uploaded: ship its bitmap now
-                    args.append(jax.device_put(slot["bits"][si], st["device"]))
+                    # (fused-path slots reconstruct it from the runs)
+                    bits = slot["bits"][si]
+                    if bits is None:
+                        from ..native import runs_to_bits
+
+                        d, l = slot["runs"][si]
+                        bits = runs_to_bits(
+                            d, l, st["valid_bits"], self._layout.pos_pad
+                        )
+                        slot["bits"][si] = bits
+                    args.append(jax.device_put(bits, st["device"]))
                 else:
                     args.append(slot["dev"][si])
             while len(args) < rows:

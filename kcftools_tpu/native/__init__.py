@@ -123,6 +123,12 @@ def get_lib():
         lib.kcf_bits_to_runs.argtypes = [
             u8p, u8p, ctypes.c_int64, u8p, u8p, ctypes.c_int64,
         ]
+        lib.kcf_pack_runs_fused.restype = ctypes.c_int64
+        lib.kcf_pack_runs_fused.argtypes = [
+            u8p, ctypes.c_int64, i32p, u32p, ctypes.c_int64, i32p,
+            ctypes.c_int64, ctypes.c_uint32, i32p, i32p, ctypes.c_int64,
+            u8p, u8p, ctypes.c_int64, _i64p,
+        ]
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.kcf_chrom_stats2.restype = None
         lib.kcf_chrom_stats2.argtypes = [
@@ -513,6 +519,72 @@ def bits_to_runs(present_bits, valid_bits, n_pos, cap):
             ln -= take
         prev_end = e
     return out_d, out_l, k
+
+
+def pack_runs_fused(counts_u8, exc_idx, exc_val, r_idx, min_count,
+                    w_start, w_hi, cap):
+    """One fused host pass for the device engine's run uplink (see
+    kcf_pack_runs_fused): gathers each position's exact count from the
+    u8 merge output, emits the trimmed absent-run stream and exact
+    per-window int64 count sums together. Requires windows sorted and
+    non-overlapping in k-mer-start space. Returns
+    (d, l, n_runs, count_sum); n_runs = -1 on cap overflow, -2 when the
+    windows are not eligible (caller falls back to
+    pack_posbits + bits_to_runs, which handle any window layout).
+    The numpy fallback composes those two primitives directly."""
+    r_idx = np.ascontiguousarray(r_idx, np.int32)
+    w_start = np.ascontiguousarray(w_start, np.int32)
+    w_hi = np.ascontiguousarray(w_hi, np.int32)
+    n_pos = r_idx.shape[0]
+    n_win = w_start.shape[0]
+    lib = get_lib()
+    if lib is None:
+        bits, count_sum = pack_posbits(
+            counts_u8, exc_idx, exc_val, r_idx, min_count, w_start, w_hi
+        )
+        valid_bits = np.packbits(r_idx >= 0, bitorder="little")
+        d, l, n = bits_to_runs(bits, valid_bits, n_pos, cap)
+        return d, l, n, count_sum
+    counts_u8 = np.ascontiguousarray(counts_u8, np.uint8)
+    exc_idx = np.ascontiguousarray(exc_idx, np.int32)
+    exc_val = np.ascontiguousarray(exc_val, np.uint32)
+    out_d = np.zeros(cap, np.uint8)
+    out_l = np.zeros(cap, np.uint8)
+    count_sum = np.zeros(n_win, np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.kcf_pack_runs_fused(
+        counts_u8.ctypes.data_as(u8p), counts_u8.shape[0],
+        exc_idx.ctypes.data_as(i32p), _u32p(exc_val), exc_idx.shape[0],
+        r_idx.ctypes.data_as(i32p), n_pos, ctypes.c_uint32(min_count),
+        w_start.ctypes.data_as(i32p), w_hi.ctypes.data_as(i32p), n_win,
+        out_d.ctypes.data_as(u8p), out_l.ctypes.data_as(u8p), cap,
+        count_sum.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n < 0:
+        return None, None, int(n), count_sum
+    return out_d, out_l, int(n), count_sum
+
+
+def runs_to_bits(d, l, valid_bits, n_pos):
+    """Reconstruct the positional presence bitmap from an absent-run
+    payload (inverse of the uplink encoding wherever valid): present =
+    valid and not inside any run."""
+    dl = np.asarray(d, np.int64)
+    ll = np.asarray(l, np.int64)
+    ends = np.cumsum(dl + ll)
+    starts = ends - ll
+    delta = np.zeros(n_pos + 1, np.int32)
+    np.add.at(delta, np.clip(starts, 0, n_pos), 1)
+    np.add.at(delta, np.clip(ends, 0, n_pos), -1)
+    absent = np.cumsum(delta[:n_pos]) > 0
+    valid = np.unpackbits(
+        np.asarray(valid_bits, np.uint8), bitorder="little"
+    )[:n_pos].astype(bool)
+    packed = np.packbits(valid & ~absent, bitorder="little")
+    out = np.zeros((n_pos + 7) // 8, np.uint8)
+    out[: packed.shape[0]] = packed
+    return out
 
 
 def sort_pairs(keys, vals):

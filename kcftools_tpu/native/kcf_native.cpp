@@ -2314,5 +2314,323 @@ int64_t kcf_bits_to_runs(const uint8_t* present_bits,
   return k;
 }
 
+// ---------------------------------------------------------------------------
+// Fused single-pass uplink pack: one walk over positions gathers each
+// k-mer's exact count from the u8 merge output (exceptions inline),
+// emits the trimmed absent-run stream AND accumulates exact per-window
+// int64 count sums - replacing the pack_posbits two-pass + bits_to_runs
+// pipeline with one pass at the cost of the single irreducible random
+// gather. Requires windows sorted and non-overlapping in k-mer-start
+// space (tiling mode and most feature layouts); returns -2 otherwise
+// so the caller can fall back, -1 when ``cap`` overflows.
+static bool runenc_emit(uint8_t* out_d, uint8_t* out_l, int64_t cap,
+                        int64_t* k, int64_t* prev_end, int64_t s,
+                        int64_t e) {
+  int64_t d = s - *prev_end;
+  while (d > 255) {
+    if (*k >= cap) return false;
+    out_d[*k] = 255;
+    out_l[*k] = 0;
+    ++*k;
+    d -= 255;
+  }
+  int64_t len = e - s;
+  int64_t take = len < 255 ? len : 255;
+  if (*k >= cap) return false;
+  out_d[*k] = (uint8_t)d;
+  out_l[*k] = (uint8_t)take;
+  ++*k;
+  len -= take;
+  while (len > 0) {
+    take = len < 255 ? len : 255;
+    if (*k >= cap) return false;
+    out_d[*k] = 0;
+    out_l[*k] = (uint8_t)take;
+    ++*k;
+    len -= take;
+  }
+  *prev_end = e;
+  return true;
+}
+
+struct FusedRunsOut {
+  std::vector<std::pair<int64_t, int64_t>> groups;  // [start, end)
+  int64_t first_present = INT64_MAX;
+  bool tail_open = false;
+};
+
+struct FusedState {
+  int64_t w;
+  int64_t first_av = -1, last_av = -1;
+};
+
+static void fused_runs_scalar(const uint8_t* counts,
+                              const int32_t* exc_idx,
+                              const uint32_t* exc_val, int64_t n_exc,
+                              const int32_t* r_idx, int64_t a, int64_t b,
+                              int64_t p_end, uint32_t min_count,
+                              const int32_t* w_start, const int32_t* w_hi,
+                              int64_t w1, int64_t* out_cnt,
+                              FusedRunsOut* out, FusedState& s) {
+  constexpr int64_t PF = 48;  // gather-target prefetch distance
+  for (int64_t p = a; p < b; ++p) {
+    if (p + PF < p_end) {
+      int32_t rp = r_idx[p + PF];
+      if (rp >= 0) __builtin_prefetch(counts + rp, 0, 1);
+    }
+    int32_t r = r_idx[p];
+    if (r < 0) continue;  // invalid: trimmed/masked either way
+    uint32_t c = counts[r];
+    if (__builtin_expect(c == 255u, 0))
+      c = exc_value(exc_idx, exc_val, n_exc, r);
+    if (c >= min_count) {  // present
+      if (out->first_present == INT64_MAX) out->first_present = p;
+      if (s.first_av >= 0) {
+        out->groups.emplace_back(s.first_av, s.last_av + 1);
+        s.first_av = -1;
+      }
+      while (s.w < w1 && p > (int64_t)w_hi[s.w]) ++s.w;
+      if (s.w < w1 && p >= (int64_t)w_start[s.w])
+        out_cnt[s.w] += (int64_t)c;
+    } else {  // valid-absent
+      if (s.first_av < 0) s.first_av = p;
+      s.last_av = p;
+    }
+  }
+}
+
+#if defined(__x86_64__)
+// 16-wide block driver: one gather per 16 positions (prefetched), run
+// transitions walked on 16-bit masks, window sums via one masked SAD
+// per fully-in-window block (sparse scalar fixups for >=255 counts
+// and window-straddling blocks). min_count <= 255 only - the u8
+// compare is exact for presence then (saturated 255 implies
+// exact >= 255 >= min_count).
+__attribute__((target("avx512f,avx512bw,avx512vl")))
+static void fused_runs_simd(const uint8_t* counts, int64_t n_counts,
+                            const int32_t* exc_idx,
+                            const uint32_t* exc_val, int64_t n_exc,
+                            const int32_t* r_idx, int64_t p0, int64_t p1,
+                            uint32_t min_count, const int32_t* w_start,
+                            const int32_t* w_hi, int64_t w1,
+                            int64_t* out_cnt, FusedRunsOut* out,
+                            FusedState& s) {
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i cap32 = _mm512_set1_epi32((int)(n_counts - 4));
+  const __m128i v255 = _mm_set1_epi8((char)0xFF);
+  const __m128i mc = _mm_set1_epi8((char)(uint8_t)min_count);
+  constexpr int64_t PF = 48;
+  int64_t p = p0;
+  for (; p + 16 <= p1; p += 16) {
+    if (p + PF + 16 <= p1) {
+      for (int l = 0; l < 16; l += 2) {
+        int32_t rp = r_idx[p + PF + l];
+        if (rp >= 0) __builtin_prefetch(counts + rp, 0, 1);
+      }
+    }
+    __m512i ri = _mm512_loadu_si512(r_idx + p);
+    __mmask16 valid = _mm512_cmpge_epi32_mask(ri, zero);
+    __mmask16 ok = valid & _mm512_cmple_epi32_mask(ri, cap32);
+    __m128i bytes;
+    if (__builtin_expect(ok == valid, 1)) {
+      __m512i g = _mm512_mask_i32gather_epi32(zero, valid, ri, counts, 1);
+      bytes = _mm512_cvtepi32_epi8(
+          _mm512_and_si512(g, _mm512_set1_epi32(0xFF)));
+    } else {
+      alignas(16) uint8_t tmp[16];
+      for (int l = 0; l < 16; ++l) {
+        int32_t r = r_idx[p + l];
+        tmp[l] = (r >= 0) ? counts[r] : 0;
+      }
+      bytes = _mm_load_si128((const __m128i*)tmp);
+    }
+    uint32_t pr = (uint32_t)(valid & _mm_cmpge_epu8_mask(bytes, mc));
+    uint32_t av = (uint32_t)valid & ~pr & 0xFFFFu;
+    // run transitions on the 16-bit masks
+    if (av == 0) {
+      if (s.first_av >= 0 && pr) {
+        out->groups.emplace_back(s.first_av, s.last_av + 1);
+        s.first_av = -1;
+      }
+    } else if (pr == 0) {
+      if (s.first_av < 0) s.first_av = p + __builtin_ctz(av);
+      s.last_av = p + 31 - __builtin_clz(av);
+    } else {
+      int b = 0;
+      while (b < 16) {
+        uint32_t tail = (~pr >> b) & (0xFFFFu >> b);
+        if (pr & (1u << b)) {
+          if (s.first_av >= 0) {
+            out->groups.emplace_back(s.first_av, s.last_av + 1);
+            s.first_av = -1;
+          }
+          if (tail == 0) break;
+          b += __builtin_ctz(tail);
+          continue;
+        }
+        uint32_t prt = pr >> b;
+        int len = prt ? __builtin_ctz(prt) : 16 - b;
+        uint32_t seg = (av >> b) & ((1u << len) - 1u);
+        if (seg) {
+          if (s.first_av < 0) s.first_av = p + b + __builtin_ctz(seg);
+          s.last_av = p + b + 31 - __builtin_clz(seg);
+        }
+        b += len;
+      }
+    }
+    if (pr) {
+      if (out->first_present == INT64_MAX)
+        out->first_present = p + __builtin_ctz(pr);
+      uint32_t is255 =
+          (uint32_t)(_mm_cmpeq_epi8_mask(bytes, v255)) & pr;
+      while (s.w < w1 && p > (int64_t)w_hi[s.w]) ++s.w;
+      if (s.w < w1 && p >= (int64_t)w_start[s.w] &&
+          p + 15 <= (int64_t)w_hi[s.w]) {
+        // block fully inside the current window: one masked SAD
+        __m128i masked = _mm_maskz_mov_epi8((__mmask16)pr, bytes);
+        __m128i sad = _mm_sad_epu8(masked, _mm_setzero_si128());
+        out_cnt[s.w] += (int64_t)_mm_extract_epi64(sad, 0) +
+                        (int64_t)_mm_extract_epi64(sad, 1);
+        while (__builtin_expect(is255 != 0, 0)) {
+          int l = __builtin_ctz(is255);
+          is255 &= is255 - 1;
+          uint32_t exact =
+              exc_value(exc_idx, exc_val, n_exc, r_idx[p + l]);
+          out_cnt[s.w] += (int64_t)exact - 255;
+        }
+      } else {
+        // window boundary inside the block: per-lane scalar
+        uint32_t rest = pr;
+        while (rest) {
+          int l = __builtin_ctz(rest);
+          rest &= rest - 1;
+          int64_t pp = p + l;
+          while (s.w < w1 && pp > (int64_t)w_hi[s.w]) ++s.w;
+          if (s.w < w1 && pp >= (int64_t)w_start[s.w]) {
+            alignas(16) uint8_t tmp[16];
+            _mm_store_si128((__m128i*)tmp, bytes);
+            uint32_t c = tmp[l];
+            if (__builtin_expect(c == 255u, 0))
+              c = exc_value(exc_idx, exc_val, n_exc, r_idx[pp]);
+            out_cnt[s.w] += (int64_t)c;
+          }
+        }
+      }
+    }
+  }
+  if (p < p1)
+    fused_runs_scalar(counts, exc_idx, exc_val, n_exc, r_idx, p, p1, p1,
+                      min_count, w_start, w_hi, w1, out_cnt, out, s);
+}
+#endif  // __x86_64__
+
+static void fused_runs_range(const uint8_t* counts, int64_t n_counts,
+                             const int32_t* exc_idx,
+                             const uint32_t* exc_val, int64_t n_exc,
+                             const int32_t* r_idx, int64_t p0, int64_t p1,
+                             uint32_t min_count, const int32_t* w_start,
+                             const int32_t* w_hi, int64_t w0, int64_t w1,
+                             int64_t* out_cnt, FusedRunsOut* out) {
+  FusedState s;
+  s.w = w0;
+#if defined(__x86_64__)
+  if (cpu_simd_merge() && min_count >= 1 && min_count <= 255u &&
+      n_counts >= 8) {
+    fused_runs_simd(counts, n_counts, exc_idx, exc_val, n_exc, r_idx, p0,
+                    p1, min_count, w_start, w_hi, w1, out_cnt, out, s);
+  } else
+#endif
+  {
+    fused_runs_scalar(counts, exc_idx, exc_val, n_exc, r_idx, p0, p1, p1,
+                      min_count, w_start, w_hi, w1, out_cnt, out, s);
+  }
+  if (s.first_av >= 0) {
+    out->groups.emplace_back(s.first_av, s.last_av + 1);
+    out->tail_open = true;
+  }
+}
+
+int64_t kcf_pack_runs_fused(const uint8_t* counts, int64_t n_counts,
+                            const int32_t* exc_idx,
+                            const uint32_t* exc_val, int64_t n_exc,
+                            const int32_t* r_idx, int64_t n_pos,
+                            uint32_t min_count, const int32_t* w_start,
+                            const int32_t* w_hi, int64_t n_win,
+                            uint8_t* out_d, uint8_t* out_l, int64_t cap,
+                            int64_t* out_cnt) {
+  for (int64_t i = 0; i < n_win; ++i) {
+    out_cnt[i] = 0;
+    if (i + 1 < n_win &&
+        ((int64_t)w_start[i + 1] <= (int64_t)w_hi[i] ||
+         w_start[i + 1] < w_start[i]))
+      return -2;  // overlapping/unsorted windows: caller falls back
+  }
+  int T = pick_threads(n_pos, 1 << 18);
+  if (T > 1 && n_win < 2 * T) T = 1;  // window-aligned splits need slack
+  std::vector<FusedRunsOut> outs((size_t)T);
+  if (T == 1) {
+    fused_runs_range(counts, n_counts, exc_idx, exc_val, n_exc, r_idx, 0,
+                     n_pos, min_count, w_start, w_hi, 0, n_win, out_cnt,
+                     &outs[0]);
+  } else {
+    // split position ranges AT WINDOW STARTS so threads own disjoint
+    // window index ranges (no shared count_sum cells)
+    std::vector<std::thread> ws;
+    int64_t w_step = (n_win + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+      int64_t wa = t * w_step;
+      int64_t wb = std::min<int64_t>(n_win, wa + w_step);
+      int64_t pa = (t == 0) ? 0 : (int64_t)w_start[wa];
+      int64_t pb = (t == T - 1 || wb >= n_win) ? n_pos
+                                               : (int64_t)w_start[wb];
+      ws.emplace_back(fused_runs_range, counts, n_counts, exc_idx,
+                      exc_val, n_exc, r_idx, pa, pb, min_count, w_start,
+                      w_hi, wa, wb, out_cnt, &outs[t]);
+    }
+    for (auto& th : ws) th.join();
+  }
+  // stitch thread outputs (a group straddling a split boundary merges
+  // when no present position separates the pieces) + delta-encode
+  int64_t k = 0, prev_end = 0;
+  int64_t cs = -1, ce = -1;  // carry group
+  for (int t = 0; t < T; ++t) {
+    FusedRunsOut& o = outs[t];
+    if (o.groups.empty()) {
+      if (o.first_present != INT64_MAX && cs >= 0) {
+        if (!runenc_emit(out_d, out_l, cap, &k, &prev_end, cs, ce))
+          return -1;
+        cs = -1;
+      }
+      continue;
+    }
+    bool head_open = o.groups[0].first < o.first_present;
+    if (cs >= 0) {
+      if (head_open) {
+        o.groups[0].first = cs;  // merge across the boundary
+      } else if (!runenc_emit(out_d, out_l, cap, &k, &prev_end, cs, ce)) {
+        return -1;
+      }
+      cs = -1;
+    }
+    size_t ng = o.groups.size();
+    for (size_t g = 0; g + 1 < ng; ++g) {
+      if (!runenc_emit(out_d, out_l, cap, &k, &prev_end,
+                       o.groups[g].first, o.groups[g].second))
+        return -1;
+    }
+    if (o.tail_open) {
+      cs = o.groups[ng - 1].first;
+      ce = o.groups[ng - 1].second;
+    } else if (!runenc_emit(out_d, out_l, cap, &k, &prev_end,
+                            o.groups[ng - 1].first,
+                            o.groups[ng - 1].second)) {
+      return -1;
+    }
+  }
+  if (cs >= 0 && !runenc_emit(out_d, out_l, cap, &k, &prev_end, cs, ce))
+    return -1;
+  return k;
+}
+
 }  // extern "C"
 

@@ -79,6 +79,93 @@ def test_bits_to_runs_saturation(rng):
     assert (np.asarray(d[:k]) == 255).sum() >= 2  # fillers used
 
 
+def test_pack_runs_fused_matches_composed(rng):
+    """The fused single-pass kernel must produce exactly the composed
+    pack_posbits + bits_to_runs payload and count sums, across
+    min-count filters, >=255-count exceptions, invalid (N) positions,
+    inter-window gaps, empty windows, and cap overflows."""
+    from kcftools_tpu.native import (
+        pack_posbits,
+        pack_runs_fused,
+        runs_to_bits,
+    )
+
+    for trial in range(80):
+        n_pos = int(rng.integers(50, 4000))
+        n_ref = int(rng.integers(10, 2000))
+        r_idx = rng.integers(0, n_ref, n_pos).astype(np.int32)
+        r_idx[rng.random(n_pos) < 0.05] = -1
+        counts = rng.integers(0, 300, n_ref).astype(np.uint32)
+        u8 = np.minimum(counts, 255).astype(np.uint8)
+        ei = np.flatnonzero(counts >= 255).astype(np.int32)
+        ev = counts[ei].astype(np.uint32)
+        min_count = int(rng.choice([1, 2, 5, 300]))
+        # sorted non-overlapping windows with random gaps + an empty one
+        cuts = np.sort(
+            rng.choice(n_pos, size=min(n_pos, 8), replace=False)
+        )
+        ws, wh = [], []
+        prev = 0
+        for c in cuts:
+            if c <= prev:
+                continue
+            a = prev + int(rng.integers(0, min(3, c - prev)))
+            ws.append(a)
+            wh.append(int(rng.integers(a, c)) if rng.random() < 0.9 else a - 1)
+            prev = c + 1
+        ws = np.asarray(ws, np.int32)
+        wh = np.asarray(wh, np.int32)
+        cap = int(rng.choice([8, 64, 4096]))
+        d1, l1, n1, cs1 = pack_runs_fused(
+            u8, ei, ev, r_idx, min_count, ws, wh, cap
+        )
+        bits, cs2 = pack_posbits(u8, ei, ev, r_idx, min_count, ws, wh)
+        from kcftools_tpu.native import bits_to_runs
+
+        vb = np.packbits(r_idx >= 0, bitorder="little")
+        d2, l2, n2 = bits_to_runs(bits, vb, n_pos, cap)
+        assert n1 == n2, trial
+        np.testing.assert_array_equal(cs1, cs2, err_msg=f"csum {trial}")
+        if n1 >= 0:
+            np.testing.assert_array_equal(d1, d2, err_msg=str(trial))
+            np.testing.assert_array_equal(l1, l2, err_msg=str(trial))
+            np.testing.assert_array_equal(
+                runs_to_bits(d1, l1, vb, n_pos), bits,
+                err_msg=f"roundtrip {trial}",
+            )
+
+
+def test_pack_runs_fused_threaded_stitch(rng):
+    """At >= 2^18 positions the fused kernel splits across threads at
+    window boundaries; runs straddling a split must stitch exactly."""
+    from kcftools_tpu.native import (
+        bits_to_runs,
+        pack_posbits,
+        pack_runs_fused,
+    )
+
+    n_pos = 600_000
+    n_ref = 200_000
+    r_idx = rng.integers(0, n_ref, n_pos).astype(np.int32)
+    r_idx[rng.random(n_pos) < 0.02] = -1
+    counts = rng.integers(0, 4, n_ref).astype(np.uint32)  # ~25% absent
+    u8 = counts.astype(np.uint8)
+    ei = np.empty(0, np.int32)
+    ev = np.empty(0, np.uint32)
+    step = 480
+    ws = np.arange(0, n_pos - step, step, dtype=np.int32)
+    wh = (ws + step - 1).astype(np.int32)
+    cap = 1 << 20
+    d1, l1, n1, cs1 = pack_runs_fused(u8, ei, ev, r_idx, 1, ws, wh, cap)
+    bits, cs2 = pack_posbits(u8, ei, ev, r_idx, 1, ws, wh)
+    vb = np.packbits(r_idx >= 0, bitorder="little")
+    d2, l2, n2 = bits_to_runs(bits, vb, n_pos, cap)
+    assert n1 == n2 and n1 > 0
+    np.testing.assert_array_equal(cs1, cs2)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(l1, l2)
+
+
 class _FakeRefIdx:
     def __init__(self, n):
         self.n_kmers = n
