@@ -86,26 +86,59 @@ class RefKmerIndex:
             per_chrom_kmers[name] = kmers
             per_chrom_valid[name] = kvalid
 
-        uniq_parts = [
-            np.unique(per_chrom_kmers[name][per_chrom_valid[name]])
-            for name in names
-            if per_chrom_kmers[name].size
-        ]
-        R = (
-            np.unique(np.concatenate(uniq_parts))
-            if uniq_parts
-            else empty
-        )
+        from ..native import get_lib, sort_pairs, sorted_lookup
 
-        chrom_r_idx = {}
-        for name in names:
-            kmers = per_chrom_kmers[name]
-            kvalid = per_chrom_valid[name]
-            r_idx = np.full(kmers.shape[0], -1, np.int32)
-            if kmers.size:
-                pos = np.searchsorted(R, kmers[kvalid]).astype(np.int32)
-                r_idx[kvalid] = pos
-            chrom_r_idx[name] = r_idx
+        if k <= 32 and get_lib() is not None:
+            # fast path: the threaded radix sort + a linear zipper
+            # replace numpy unique/searchsorted (the cold-build cost is
+            # dominated by the 5M-key binary searches otherwise)
+            parts = [
+                per_chrom_kmers[name][per_chrom_valid[name]]
+                for name in names
+                if per_chrom_kmers[name].size
+            ]
+            if parts:
+                all_k = np.concatenate(parts)
+                ks_all, _ = sort_pairs(
+                    all_k, np.zeros(all_k.shape[0], np.uint32)
+                )
+                keep = np.empty(ks_all.shape[0], bool)
+                keep[:1] = True
+                keep[1:] = ks_all[1:] != ks_all[:-1]
+                R = ks_all[keep]
+            else:
+                R = empty
+            chrom_r_idx = {}
+            for name in names:
+                kmers = per_chrom_kmers[name]
+                kvalid = per_chrom_valid[name]
+                r_idx = np.full(kmers.shape[0], -1, np.int32)
+                if kmers.size and kvalid.any():
+                    vpos = np.flatnonzero(kvalid).astype(np.uint32)
+                    ks, pos = sort_pairs(kmers[kvalid], vpos)
+                    r_idx[pos.astype(np.int64)] = sorted_lookup(R, ks)
+                chrom_r_idx[name] = r_idx
+        else:
+            uniq_parts = [
+                np.unique(per_chrom_kmers[name][per_chrom_valid[name]])
+                for name in names
+                if per_chrom_kmers[name].size
+            ]
+            R = (
+                np.unique(np.concatenate(uniq_parts))
+                if uniq_parts
+                else empty
+            )
+
+            chrom_r_idx = {}
+            for name in names:
+                kmers = per_chrom_kmers[name]
+                kvalid = per_chrom_valid[name]
+                r_idx = np.full(kmers.shape[0], -1, np.int32)
+                if kmers.size:
+                    pos = np.searchsorted(R, kmers[kvalid]).astype(np.int32)
+                    r_idx[kvalid] = pos
+                chrom_r_idx[name] = r_idx
         Logger.info(
             _CLASS,
             f"Built reference k-mer index: {R.size} unique {k}-mers over "

@@ -123,6 +123,11 @@ def get_lib():
         lib.kcf_bits_to_runs.argtypes = [
             u8p, u8p, ctypes.c_int64, u8p, u8p, ctypes.c_int64,
         ]
+        lib.kcf_sorted_lookup.restype = None
+        lib.kcf_sorted_lookup.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, i32p,
+        ]
         lib.kcf_pack_runs_fused.restype = ctypes.c_int64
         lib.kcf_pack_runs_fused.argtypes = [
             u8p, ctypes.c_int64, i32p, u32p, ctypes.c_int64, i32p,
@@ -584,6 +589,32 @@ def runs_to_bits(d, l, valid_bits, n_pos):
     packed = np.packbits(valid & ~absent, bitorder="little")
     out = np.zeros((n_pos + 7) // 8, np.uint8)
     out[: packed.shape[0]] = packed
+    return out
+
+
+def sorted_lookup(hay, needles_sorted):
+    """Indices of sorted ``needles_sorted`` in sorted ``hay`` (-1 where
+    absent) - native linear zipper, numpy searchsorted fallback."""
+    hay = np.ascontiguousarray(hay, np.uint64)
+    needles_sorted = np.ascontiguousarray(needles_sorted, np.uint64)
+    out = np.empty(needles_sorted.shape[0], np.int32)
+    lib = get_lib()
+    if lib is None:
+        idx = np.searchsorted(hay, needles_sorted)
+        idx = np.minimum(idx, max(hay.shape[0] - 1, 0))
+        hit = (
+            hay[idx] == needles_sorted
+            if hay.size
+            else np.zeros(needles_sorted.shape[0], bool)
+        )
+        out[:] = np.where(hit, idx, -1)
+        return out
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.kcf_sorted_lookup(
+        hay.ctypes.data_as(u64p), hay.shape[0],
+        needles_sorted.ctypes.data_as(u64p), needles_sorted.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
     return out
 
 

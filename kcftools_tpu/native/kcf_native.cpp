@@ -1421,6 +1421,51 @@ void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
   }
 }
 
+// Linear zipper lookup of SORTED needles in a sorted haystack: each
+// thread binary-searches its range's start once, then advances two
+// pointers - O(n_hay + n_needles) total instead of n_needles binary
+// searches (replaces numpy searchsorted in the reference-index build,
+// where every needle is known to be present; absent needles get -1).
+static void sorted_lookup_range(const uint64_t* hay, int64_t n_hay,
+                                const uint64_t* needles, int64_t a,
+                                int64_t b, int32_t* out) {
+  if (a >= b) return;
+  // binary search the first needle's position
+  int64_t lo = 0, hi = n_hay;
+  uint64_t q0 = needles[a];
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (hay[mid] < q0)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  int64_t j = lo;
+  for (int64_t i = a; i < b; ++i) {
+    uint64_t q = needles[i];
+    while (j < n_hay && hay[j] < q) ++j;
+    out[i] = (j < n_hay && hay[j] == q) ? (int32_t)j : -1;
+  }
+}
+
+extern "C" void kcf_sorted_lookup(const uint64_t* hay, int64_t n_hay,
+                                  const uint64_t* needles, int64_t n,
+                                  int32_t* out) {
+  int T = pick_threads(n, 1 << 19);
+  if (T <= 1) {
+    sorted_lookup_range(hay, n_hay, needles, 0, n, out);
+    return;
+  }
+  std::vector<std::thread> ws;
+  int64_t step = (n + T - 1) / T;
+  for (int t = 0; t < T; ++t) {
+    int64_t a = t * step, b = std::min(n, a + step);
+    if (a >= b) break;
+    ws.emplace_back(sorted_lookup_range, hay, n_hay, needles, a, b, out);
+  }
+  for (auto& w : ws) w.join();
+}
+
 // KCF data-row parser: one pass over the raw text of data rows.
 // Fields: CHROM START END ID TOTAL_KMERS INFO FORMAT sample...
 // with sample = IB:VA:OB:ID:LD:RD:KD:SC. Emits numeric columns directly
