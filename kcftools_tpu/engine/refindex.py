@@ -98,14 +98,9 @@ class RefKmerIndex:
                 if per_chrom_kmers[name].size
             ]
             if parts:
-                all_k = np.concatenate(parts)
-                ks_all, _ = sort_pairs(
-                    all_k, np.zeros(all_k.shape[0], np.uint32)
-                )
-                keep = np.empty(ks_all.shape[0], bool)
-                keep[:1] = True
-                keep[1:] = ks_all[1:] != ks_all[:-1]
-                R = ks_all[keep]
+                from ..native import sort_unique_u64
+
+                R = sort_unique_u64(np.concatenate(parts))
             else:
                 R = empty
             chrom_r_idx = {}
@@ -343,7 +338,12 @@ class FeatureKmerIndex:
                 kmers, kvalid = pack_canon(codes_cat, valid_cat)
                 keys = kmers
                 if kmers.size and kvalid.any():
-                    parts.append(np.unique(kmers[kvalid]))
+                    if k <= 32:
+                        from ..native import sort_unique_u64
+
+                        parts.append(sort_unique_u64(kmers[kvalid]))
+                    else:
+                        parts.append(np.unique(kmers[kvalid]))
 
             # sample-independent per-feature stats; features shorter than
             # k carry zeros (reference: empty k-mer list, eff length 0)
@@ -382,7 +382,11 @@ class FeatureKmerIndex:
                 R_hi = R_lo = np.empty(0, np.uint64)
             R = None
         else:
-            if parts:
+            if parts and k <= 32:
+                from ..native import sort_unique_u64
+
+                R = sort_unique_u64(np.concatenate(parts))
+            elif parts:
                 R = np.unique(np.concatenate(parts))
             elif k > 64:
                 from .encode_mlimb import n_bytes
@@ -407,9 +411,23 @@ class FeatureKmerIndex:
             else:
                 r_idx = np.full(keys.shape[0], -1, np.int32)
                 if keys.size and kvalid.any():
-                    r_idx[kvalid] = np.searchsorted(
-                        R, keys[kvalid]
-                    ).astype(np.int32)
+                    if k <= 32:
+                        from ..native import get_lib, sort_pairs, sorted_lookup
+
+                        if get_lib() is not None:
+                            vpos = np.flatnonzero(kvalid).astype(np.uint32)
+                            ks, pos = sort_pairs(keys[kvalid], vpos)
+                            r_idx[pos.astype(np.int64)] = sorted_lookup(
+                                R, ks
+                            )
+                        else:
+                            r_idx[kvalid] = np.searchsorted(
+                                R, keys[kvalid]
+                            ).astype(np.int32)
+                    else:
+                        r_idx[kvalid] = np.searchsorted(
+                            R, keys[kvalid]
+                        ).astype(np.int32)
                 pl["r_idx"] = r_idx
             chrom_plans[name] = pl
         n_unique = R_hi.shape[0] if wide_k else R.shape[0]

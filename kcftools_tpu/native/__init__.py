@@ -592,6 +592,19 @@ def runs_to_bits(d, l, valid_bits, n_pos):
     return out
 
 
+def sort_unique_u64(keys):
+    """Sorted unique uint64 keys - native threaded radix sort + dedup,
+    numpy unique fallback."""
+    keys = np.ascontiguousarray(keys, np.uint64)
+    if keys.size == 0 or get_lib() is None:
+        return np.unique(keys)
+    ks, _ = sort_pairs(keys, np.zeros(keys.shape[0], np.uint32))
+    keep = np.empty(ks.shape[0], bool)
+    keep[:1] = True
+    keep[1:] = ks[1:] != ks[:-1]
+    return ks[keep]
+
+
 def sorted_lookup(hay, needles_sorted):
     """Indices of sorted ``needles_sorted`` in sorted ``hay`` (-1 where
     absent) - native linear zipper, numpy searchsorted fallback."""
