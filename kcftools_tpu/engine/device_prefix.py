@@ -397,10 +397,11 @@ class DevicePrefixScorer:
         self.device = self.devices[0]
         if batch is None:
             batch = int(os.environ.get("KCFTOOLS_DEVICE_BATCH", "8"))
-        # the run payload packs one sample per uint8 lane grouping; 8
-        # rows per execution is also where the per-execution round trip
-        # is fully amortized, so the group size is capped there
-        self.batch = max(1, min(8, int(batch)))
+        # groups pad to exactly ``batch`` rows (one compiled program);
+        # 8 amortizes the per-execution round trip well while keeping
+        # the padded rows' device compute small - raise it when runs
+        # routinely carry more samples than that
+        self.batch = max(1, int(batch))
         self.uplink = os.environ.get("KCFTOOLS_DPREFIX_UPLINK", "auto")
         slab = int(
             os.environ.get("KCFTOOLS_DPREFIX_SLAB", str(1 << 26))
