@@ -689,6 +689,8 @@ class DevicePrefixScorer:
         result handles."""
         import jax
 
+        from ..native import runs_to_bits
+
         rows = self.batch
         fn = self._score_fn(kind)
         handles = []
@@ -704,8 +706,6 @@ class DevicePrefixScorer:
                     # (fused-path slots reconstruct it from the runs)
                     bits = slot["bits"][si]
                     if bits is None:
-                        from ..native import runs_to_bits
-
                         d, l = slot["runs"][si]
                         bits = runs_to_bits(
                             d, l, st["valid_bits"], self._layout.pos_pad

@@ -86,23 +86,19 @@ class RefKmerIndex:
             per_chrom_kmers[name] = kmers
             per_chrom_valid[name] = kvalid
 
-        from ..native import get_lib, sort_pairs, sorted_lookup
+        from ..native import sort_pairs, sort_unique_u64, sorted_lookup
 
-        if k <= 32 and get_lib() is not None:
+        if k <= 32:
             # fast path: the threaded radix sort + a linear zipper
             # replace numpy unique/searchsorted (the cold-build cost is
-            # dominated by the 5M-key binary searches otherwise)
+            # dominated by the 5M-key binary searches otherwise); both
+            # helpers fall back to numpy without the native library
             parts = [
                 per_chrom_kmers[name][per_chrom_valid[name]]
                 for name in names
                 if per_chrom_kmers[name].size
             ]
-            if parts:
-                from ..native import sort_unique_u64
-
-                R = sort_unique_u64(np.concatenate(parts))
-            else:
-                R = empty
+            R = sort_unique_u64(np.concatenate(parts)) if parts else empty
             chrom_r_idx = {}
             for name in names:
                 kmers = per_chrom_kmers[name]
@@ -412,18 +408,11 @@ class FeatureKmerIndex:
                 r_idx = np.full(keys.shape[0], -1, np.int32)
                 if keys.size and kvalid.any():
                     if k <= 32:
-                        from ..native import get_lib, sort_pairs, sorted_lookup
+                        from ..native import sort_pairs, sorted_lookup
 
-                        if get_lib() is not None:
-                            vpos = np.flatnonzero(kvalid).astype(np.uint32)
-                            ks, pos = sort_pairs(keys[kvalid], vpos)
-                            r_idx[pos.astype(np.int64)] = sorted_lookup(
-                                R, ks
-                            )
-                        else:
-                            r_idx[kvalid] = np.searchsorted(
-                                R, keys[kvalid]
-                            ).astype(np.int32)
+                        vpos = np.flatnonzero(kvalid).astype(np.uint32)
+                        ks, pos = sort_pairs(keys[kvalid], vpos)
+                        r_idx[pos.astype(np.int64)] = sorted_lookup(R, ks)
                     else:
                         r_idx[kvalid] = np.searchsorted(
                             R, keys[kvalid]

@@ -598,7 +598,8 @@ def sort_unique_u64(keys):
     keys = np.ascontiguousarray(keys, np.uint64)
     if keys.size == 0 or get_lib() is None:
         return np.unique(keys)
-    ks, _ = sort_pairs(keys, np.zeros(keys.shape[0], np.uint32))
+    # the values are discarded; uninitialized memory is fine
+    ks, _ = sort_pairs(keys, np.empty(keys.shape[0], np.uint32))
     keep = np.empty(ks.shape[0], bool)
     keep[:1] = True
     keep[1:] = ks[1:] != ks[:-1]

@@ -2261,6 +2261,39 @@ void kcf_pack_posbits(const uint8_t* counts, int64_t n_counts,
 // 255-saturated with (255,0) fillers), length u8 (255-saturated with
 // (0,255) continuations). Returns the entry count, or -1 when ``cap``
 // would overflow (caller falls back to the bitmap payload).
+// Delta-encode one run [s, e) into the (delta u8, length u8) stream
+// with (255, 0) gap fillers and (0, 255) length continuations; shared
+// by kcf_bits_to_runs and kcf_pack_runs_fused. false = cap overflow.
+static bool runenc_emit(uint8_t* out_d, uint8_t* out_l, int64_t cap,
+                        int64_t* k, int64_t* prev_end, int64_t s,
+                        int64_t e) {
+  int64_t d = s - *prev_end;
+  while (d > 255) {
+    if (*k >= cap) return false;
+    out_d[*k] = 255;
+    out_l[*k] = 0;
+    ++*k;
+    d -= 255;
+  }
+  int64_t len = e - s;
+  int64_t take = len < 255 ? len : 255;
+  if (*k >= cap) return false;
+  out_d[*k] = (uint8_t)d;
+  out_l[*k] = (uint8_t)take;
+  ++*k;
+  len -= take;
+  while (len > 0) {
+    take = len < 255 ? len : 255;
+    if (*k >= cap) return false;
+    out_d[*k] = 0;
+    out_l[*k] = (uint8_t)take;
+    ++*k;
+    len -= take;
+  }
+  *prev_end = e;
+  return true;
+}
+
 int64_t kcf_bits_to_runs(const uint8_t* present_bits,
                          const uint8_t* valid_bits, int64_t n_pos,
                          uint8_t* out_d, uint8_t* out_l, int64_t cap) {
@@ -2269,32 +2302,8 @@ int64_t kcf_bits_to_runs(const uint8_t* present_bits,
   int64_t prev_end = 0;   // end (exclusive) of the last emitted run
   int64_t first_av = -1;  // first valid-absent since the last present
   int64_t last_av = -1;   // last valid-absent since the last present
-  auto emit = [&](int64_t s, int64_t e) -> bool {
-    int64_t d = s - prev_end;
-    while (d > 255) {
-      if (k >= cap) return false;
-      out_d[k] = 255;
-      out_l[k] = 0;
-      ++k;
-      d -= 255;
-    }
-    int64_t len = e - s;
-    int64_t take = len < 255 ? len : 255;
-    if (k >= cap) return false;
-    out_d[k] = (uint8_t)d;
-    out_l[k] = (uint8_t)take;
-    ++k;
-    len -= take;
-    while (len > 0) {
-      take = len < 255 ? len : 255;
-      if (k >= cap) return false;
-      out_d[k] = 0;
-      out_l[k] = (uint8_t)take;
-      ++k;
-      len -= take;
-    }
-    prev_end = e;
-    return true;
+  auto emit = [&](int64_t s, int64_t e) {
+    return runenc_emit(out_d, out_l, cap, &k, &prev_end, s, e);
   };
   // Transition-driven scan: per word, the not-present stretches'
   // edges are ~(runs/word) bits, so the inner ctz loop touches only
@@ -2368,36 +2377,6 @@ int64_t kcf_bits_to_runs(const uint8_t* present_bits,
 // gather. Requires windows sorted and non-overlapping in k-mer-start
 // space (tiling mode and most feature layouts); returns -2 otherwise
 // so the caller can fall back, -1 when ``cap`` overflows.
-static bool runenc_emit(uint8_t* out_d, uint8_t* out_l, int64_t cap,
-                        int64_t* k, int64_t* prev_end, int64_t s,
-                        int64_t e) {
-  int64_t d = s - *prev_end;
-  while (d > 255) {
-    if (*k >= cap) return false;
-    out_d[*k] = 255;
-    out_l[*k] = 0;
-    ++*k;
-    d -= 255;
-  }
-  int64_t len = e - s;
-  int64_t take = len < 255 ? len : 255;
-  if (*k >= cap) return false;
-  out_d[*k] = (uint8_t)d;
-  out_l[*k] = (uint8_t)take;
-  ++*k;
-  len -= take;
-  while (len > 0) {
-    take = len < 255 ? len : 255;
-    if (*k >= cap) return false;
-    out_d[*k] = 0;
-    out_l[*k] = (uint8_t)take;
-    ++*k;
-    len -= take;
-  }
-  *prev_end = e;
-  return true;
-}
-
 struct FusedRunsOut {
   std::vector<std::pair<int64_t, int64_t>> groups;  // [start, end)
   int64_t first_present = INT64_MAX;

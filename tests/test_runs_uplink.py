@@ -120,8 +120,6 @@ def test_pack_runs_fused_matches_composed(rng):
             u8, ei, ev, r_idx, min_count, ws, wh, cap
         )
         bits, cs2 = pack_posbits(u8, ei, ev, r_idx, min_count, ws, wh)
-        from kcftools_tpu.native import bits_to_runs
-
         vb = np.packbits(r_idx >= 0, bitorder="little")
         d2, l2, n2 = bits_to_runs(bits, vb, n_pos, cap)
         assert n1 == n2, trial
