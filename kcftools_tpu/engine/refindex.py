@@ -211,7 +211,11 @@ class RefKmerIndex:
                 payload["kmers"] = obj.kmers
             for i, n in enumerate(obj.chrom_names):
                 payload[f"ridx_{i}"] = obj.chrom_r_idx[n]
-            np.savez(path, **payload)
+            # Write-then-rename: a concurrent reader must never see a
+            # truncated cache and two writers must not interleave.
+            tmp = f"{path}.{os.getpid()}.tmp.npz"
+            np.savez(tmp, **payload)
+            os.replace(tmp, path)
             Logger.info(_CLASS, f"Cached index: {path}")
         except Exception as e:
             Logger.warning(_CLASS, f"Could not cache index at {path}: {e}")

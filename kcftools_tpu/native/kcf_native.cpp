@@ -2603,6 +2603,12 @@ int64_t kcf_pack_runs_fused(const uint8_t* counts, int64_t n_counts,
     int64_t w_step = (n_win + T - 1) / T;
     for (int t = 0; t < T; ++t) {
       int64_t wa = t * w_step;
+      // ceil-division can leave trailing chunks empty (e.g. n_win=33,
+      // T=16 -> w_step=3 -> t=11 starts at 33); reading w_start[wa]
+      // there is out of bounds and would rescan from position 0,
+      // duplicating every group. Unspawned outs stay empty and the
+      // stitch loop skips them.
+      if (wa >= n_win) break;
       int64_t wb = std::min<int64_t>(n_win, wa + w_step);
       int64_t pa = (t == 0) ? 0 : (int64_t)w_start[wa];
       int64_t pb = (t == T - 1 || wb >= n_win) ? n_pos

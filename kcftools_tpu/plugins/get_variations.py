@@ -457,7 +457,11 @@ def _build_window_plan(args, index, refidx, k):
                 if plan[name] is not None:
                     payload[f"total_{i}"] = plan[name]["total"]
                     payload[f"eff_{i}"] = plan[name]["eff"]
-            np.savez(cache, **payload)
+            # Write-then-rename so a concurrent reader never sees a
+            # truncated sidecar and two writers cannot interleave.
+            tmp = f"{cache}.{os.getpid()}.tmp.npz"
+            np.savez(tmp, **payload)
+            os.replace(tmp, cache)
         except Exception as e:
             Logger.warning(_CLASS, f"Could not cache plan at {cache}: {e}")
     return plan

@@ -26,6 +26,7 @@ def _normalize(data: bytes) -> bytes:
             ln.startswith(b"##date=")
             or ln.startswith(b"##CMD=")
             or ln.startswith(b"##reference=")  # embeds the tmp-dir path
+            or ln.startswith(b"##source=")  # embeds __version__
         )
     ]
     return b"\n".join(out)

@@ -164,6 +164,49 @@ def test_pack_runs_fused_threaded_stitch(rng):
     np.testing.assert_array_equal(l1, l2)
 
 
+def test_pack_runs_fused_empty_trailing_chunks(rng):
+    """n_win just above 2*T with a forced high thread budget makes
+    ceil(n_win/T) leave trailing chunks EMPTY (wa >= n_win); those
+    threads must not spawn at all — reading w_start[wa] out of bounds
+    rescanned from position 0 and duplicated every run group."""
+    from kcftools_tpu.native import bits_to_runs, pack_posbits, pack_runs_fused
+
+    n_pos = 16 << 18  # >= 2^18 positions PER requested thread
+    n_ref = 100_000
+    r_idx = rng.integers(0, n_ref, n_pos).astype(np.int32)
+    r_idx[rng.random(n_pos) < 0.02] = -1
+    u8 = rng.integers(0, 4, n_ref).astype(np.uint8)
+    ei = np.empty(0, np.int32)
+    ev = np.empty(0, np.uint32)
+    cap = 1 << 20
+    old = nat._thread_budget
+    try:
+        for n_win, T in ((33, 16), (9, 4), (35, 16)):
+            nat.set_threads(T)
+            step = n_pos // n_win
+            # Zero-padded backing buffers (matching the scorer's padded
+            # window layout) make the out-of-bounds w_start[wa] read
+            # deterministically see 0, i.e. a rescan from position 0.
+            ws_buf = np.zeros(n_win + 64, np.int32)
+            wh_buf = np.zeros(n_win + 64, np.int32)
+            ws_buf[:n_win] = np.arange(n_win) * step
+            wh_buf[:n_win] = ws_buf[:n_win] + step - 1
+            ws = ws_buf[:n_win]
+            wh = wh_buf[:n_win]
+            d1, l1, n1, cs1 = pack_runs_fused(
+                u8, ei, ev, r_idx, 1, ws, wh, cap
+            )
+            bits, cs2 = pack_posbits(u8, ei, ev, r_idx, 1, ws, wh)
+            vb = np.packbits(r_idx >= 0, bitorder="little")
+            d2, l2, n2 = bits_to_runs(bits, vb, n_pos, cap)
+            assert n1 == n2 and n1 > 0, (n_win, T)
+            np.testing.assert_array_equal(cs1, cs2, err_msg=f"{n_win}/{T}")
+            np.testing.assert_array_equal(d1, d2, err_msg=f"{n_win}/{T}")
+            np.testing.assert_array_equal(l1, l2, err_msg=f"{n_win}/{T}")
+    finally:
+        nat.set_threads(old)
+
+
 class _FakeRefIdx:
     def __init__(self, n):
         self.n_kmers = n
