@@ -164,15 +164,16 @@ def _scan_core(pr, cs_tot, w_start, w_hi, *, k: int):
     return jnp.stack([observed, variations, inner, left, right])
 
 
-def _score_batch(bits, cs_tot, w_start, w_hi, *, k: int):
+def _score_batch(mat, cs_tot, w_start, w_hi, *, k: int):
     """Score S samples over one slab in ONE device execution from
-    positional presence BITMAPS. bits: tuple of S (slab_pad/8,) uint8
-    LSB-first bitmaps (uploaded separately per sample so transfers
-    overlap host work). Returns (5, S, win_pad) int32."""
+    positional presence BITMAPS. mat: (S, slab_pad/8) uint8 LSB-first
+    bitmaps, stacked on host so the whole group ships as ONE
+    device_put (each transfer call carries ~tens of ms of serialized
+    tunnel protocol cost regardless of size - one big put beats 2S
+    small ones). Returns (5, S, win_pad) int32."""
     import jax
     import jax.numpy as jnp
 
-    mat = jnp.stack(bits)  # (S, slab_pad/8)
     n = mat.shape[1] * 8
     shifts = jnp.arange(8, dtype=jnp.uint8)
 
@@ -183,23 +184,24 @@ def _score_batch(bits, cs_tot, w_start, w_hi, *, k: int):
     return jnp.moveaxis(jax.vmap(one)(mat), 0, 1)  # (5, S, win_pad)
 
 
-def _score_runs(d8, l8, cs_tot, w_start, w_hi, *, k: int):
+def _score_runs(dl, cs_tot, w_start, w_hi, *, k: int):
     """Score S samples over one slab in ONE device execution from
     compact ABSENT-RUN payloads (native kcf_bits_to_runs encoding:
     delta u8 from the previous run's end with (255, 0) fillers, length
-    u8 with (0, 255) continuations). d8/l8: tuples of S (run_cap,)
-    uint8 arrays. Presence is reconstructed as one scatter + one
-    8-bit prefix scan - absent stretches are disjoint, so the
-    running +1/-1 prefix stays in {0, 1} - then masked by the static
-    valid bitmap derived from cs_tot (positions the encoding trims or
-    skips are invalid, so the masked reconstruction is exact).
-    Returns (5, S, win_pad) int32."""
+    u8 with (0, 255) continuations). dl: (S, 2, run_cap) uint8 - the
+    group's payloads stacked on host and shipped as ONE device_put
+    (the per-call tunnel protocol cost dwarfs the bytes). Presence is
+    reconstructed as one scatter + one 8-bit prefix scan - absent
+    stretches are disjoint, so the running +1/-1 prefix stays in
+    {0, 1} - then masked by the static valid bitmap derived from
+    cs_tot (positions the encoding trims or skips are invalid, so the
+    masked reconstruction is exact). Returns (5, S, win_pad) int32."""
     import jax
     import jax.numpy as jnp
 
     n = cs_tot.shape[0] - 1
-    dm = jnp.stack(d8).astype(jnp.int32)  # (S, R)
-    lm = jnp.stack(l8).astype(jnp.int32)
+    dm = dl[:, 0, :].astype(jnp.int32)  # (S, R)
+    lm = dl[:, 1, :].astype(jnp.int32)
     S = dm.shape[0]
     ends = jnp.cumsum(dm + lm, axis=1)
     starts = ends - lm
@@ -439,6 +441,8 @@ class DevicePrefixScorer:
             return
         import jax
 
+        from ..native import _uniform_window_map, build_ordmap
+
         self._layout.finalize(n_parts=len(self.devices))
         self._statics = []
         for si, slab in enumerate(self._layout.slabs):
@@ -446,25 +450,37 @@ class DevicePrefixScorer:
             nw = slab["n_win"]
             ws = slab["w_start"][:nw]
             wh = slab["w_hi"][:nw]
-            # the fused uplink pass needs sorted, non-overlapping
-            # windows (tiling mode and most feature layouts)
+            # the ordinal pack's window mapping needs sorted,
+            # non-overlapping windows (tiling mode and most feature
+            # layouts)
             fusable = bool(
                 nw < 2
                 or ((ws[1:] > wh[:-1]).all() and (ws[1:] >= ws[:-1]).all())
             )
-            self._statics.append(
-                {
-                    "device": dev,
-                    "cs_tot": jax.device_put(slab["cs_tot"], dev),
-                    "w_start": jax.device_put(slab["w_start"], dev),
-                    "w_hi": jax.device_put(slab["w_hi"], dev),
-                    # static valid bitmap for the run encoder (host)
-                    "valid_bits": np.packbits(
-                        slab["r_idx"] >= 0, bitorder="little"
-                    ),
-                    "fusable": fusable,
-                }
-            )
+            valid_bits = np.packbits(slab["r_idx"] >= 0, bitorder="little")
+            nbb = self._layout.pos_pad // 8
+            if valid_bits.shape[0] < nbb:
+                vb = np.zeros(nbb, np.uint8)
+                vb[: valid_bits.shape[0]] = valid_bits
+                valid_bits = vb
+            st = {
+                "device": dev,
+                "cs_tot": jax.device_put(slab["cs_tot"], dev),
+                "w_start": jax.device_put(slab["w_start"], dev),
+                "w_hi": jax.device_put(slab["w_hi"], dev),
+                # static valid bitmap for the run encoder (host)
+                "valid_bits": valid_bits,
+                "fusable": fusable,
+                "ordmap": None,
+                "uni": None,
+            }
+            if fusable:
+                # one-time occurrence map: every sample's pack becomes
+                # sequential streams instead of a random positional
+                # gather (kcf_ordpack)
+                st["ordmap"] = build_ordmap(slab["r_idx"])
+                st["uni"] = _uniform_window_map(ws, wh)
+            self._statics.append(st)
 
     def _score_fn(self, kind):
         import jax
@@ -503,21 +519,19 @@ class DevicePrefixScorer:
 
     def submit_counts(self, key, counts_u8, exc_idx, exc_val):
         """Pack one sample's payload on host and queue it in the
-        pending group. By default each slab is encoded as the compact
-        absent-run stream (~25x fewer wire bytes than a presence
-        bitmap - decisive on tunnel-attached devices where the wire
-        runs at tens of MB/s) together with exact per-window count
-        sums, in ONE fused native pass (kcf_pack_runs_fused) when the
-        slab's windows are sorted and non-overlapping, or via
-        pack_posbits + kcf_bits_to_runs otherwise. Payload transfers
-        start immediately (asynchronous device_put), overlapping the
-        next samples' host work. Once ``batch`` samples are queued
-        (immediately for the single-sample flow) the group is
-        dispatched as ONE device execution per slab - the
-        per-execution round trip is paid once per group, not once per
-        sample. key=None marks the single-sample flow."""
-        from ..native import pack_posbits
-
+        pending group. Fusable slabs (sorted, non-overlapping windows)
+        pack via the ordinal-space pass (kcf_ordpack: sequential
+        streams + an L2-resident bit scatter - no random positional
+        gather) into a presence bitmap + count-sum corrections, then
+        run-encode the bitmap (kcf_bits_to_runs, ~25x fewer wire bytes
+        than the bitmap at percent-level variation rates); other slabs
+        fall back to pack_posbits. Once ``batch`` samples are queued
+        (immediately for the single-sample flow) the group ships as
+        ONE stacked device_put + ONE execution per slab - each
+        transfer call and each execution carries ~tens of ms of
+        serialized tunnel protocol cost, so call count, not byte
+        count, is what the flow minimizes. key=None marks the
+        single-sample flow."""
         self._finalize()
         if key is None:
             # single-sample flow: a new sample invalidates the old one
@@ -533,33 +547,14 @@ class DevicePrefixScorer:
             self._csums.pop(None, None)
         exc_idx = np.ascontiguousarray(exc_idx, np.int32)
         exc_val = np.ascontiguousarray(exc_val, np.uint32)
-        slot = {"key": key, "bits": [], "runs": [], "dev": {}}
+        slot = {"key": key, "bits": [], "runs": []}
         count_sums = []
         use_runs = self.uplink != "bitmap"
-        if use_runs and not self._pack_runs_sample(
-            slot, count_sums, counts_u8, exc_idx, exc_val
-        ):
-            # run-dense sample (or hard cap): redo as bitmap payload
-            use_runs = False
-            slot["bits"], slot["runs"] = [], []
-            count_sums = []
-        if not use_runs:
-            for slab in self._layout.slabs:
-                bits, csum = pack_posbits(
-                    counts_u8, exc_idx, exc_val, slab["r_idx"],
-                    self.min_count, slab["w_start"][: slab["n_win"]],
-                    slab["w_hi"][: slab["n_win"]],
-                    n_bits_bytes=self._layout.pos_pad // 8,
-                )
-                slot["bits"].append(bits)
-                count_sums.append(csum)
-            slot["runs"] = None
+        self._pack_sample(
+            slot, count_sums, counts_u8, exc_idx, exc_val, use_runs
+        )
         self._pending.append(slot)
         self._csums[key] = count_sums
-        # eager upload: transfers start now (device_put is asynchronous
-        # - the runtime's transfer thread streams the bytes) and
-        # overlap the next sample's merge/pack on this thread
-        self._upload(slot)
         if key is None or len(self._pending) >= self.batch:
             self._flush_pending()
 
@@ -587,91 +582,75 @@ class DevicePrefixScorer:
                 self._run_cap = min(cap, scratch)
         return d, l, n
 
-    def _pack_runs_sample(self, slot, count_sums, counts_u8, exc_idx,
-                          exc_val):
-        """Encode one sample's run payload + count sums for every
-        slab: the fused single-pass kernel where the slab's windows
-        allow it, pack_posbits + bits_to_runs otherwise. Returns False
-        when the sample cannot fit the run budget (caller redoes it as
-        a bitmap payload)."""
-        from ..native import bits_to_runs, pack_posbits, pack_runs_fused
+    def _pack_sample(self, slot, count_sums, counts_u8, exc_idx, exc_val,
+                     use_runs):
+        """Encode one sample's payload + count-sum info for every
+        slab. Fusable slabs: kcf_ordpack -> presence bitmap + count
+        CORRECTIONS (count_sum = observed + corr; observed lands with
+        the device result), then kcf_bits_to_runs under the sticky run
+        budget - a budget overflow simply keeps that slab's bitmap
+        payload (the bitmap already exists; no re-pack). Non-fusable
+        slabs: pack_posbits with full count sums. Any bitmap slab
+        drops the whole sample to the bitmap program (slot['runs'] =
+        None); the group dispatcher then uses every slot's bitmaps."""
+        from ..native import bits_to_runs, ordpack, pack_posbits
 
+        all_runs = True
         for si, slab in enumerate(self._layout.slabs):
             st = self._statics[si]
             nw = slab["n_win"]
             ws = slab["w_start"][:nw]
             wh = slab["w_hi"][:nw]
-            bits = None
-            n = -2
-            csum = None
+            nbb = self._layout.pos_pad // 8
             if st["fusable"]:
-                res = {}
-
-                def enc(cap, _res=res, _ws=ws, _wh=wh, _slab=slab):
-                    d, l, n2, _res["csum"] = pack_runs_fused(
-                        counts_u8, exc_idx, exc_val, _slab["r_idx"],
-                        self.min_count, _ws, _wh, cap,
-                    )
-                    return d, l, n2
-
-                d, l, n = self._encode_with_cap(enc)
-                csum = res.get("csum")
-                if n == -2:
-                    st["fusable"] = False  # defensive: kernel disagreed
-            if not st["fusable"]:
+                occ_ord, occ_pos, seg_off, seg_ord = st["ordmap"]
+                bits, corr = ordpack(
+                    counts_u8, exc_idx, exc_val, occ_ord, occ_pos,
+                    self.min_count, ws, wh, st["valid_bits"], nbb,
+                    uni=st["uni"], seg_off=seg_off, seg_ord=seg_ord,
+                )
+                count_sums.append(("corr", corr))
+            else:
                 bits, csum = pack_posbits(
                     counts_u8, exc_idx, exc_val, slab["r_idx"],
-                    self.min_count, ws, wh,
-                    n_bits_bytes=self._layout.pos_pad // 8,
+                    self.min_count, ws, wh, n_bits_bytes=nbb,
                 )
-
-                def enc2(cap, _bits=bits, _vb=st["valid_bits"]):
-                    return bits_to_runs(
-                        _bits, _vb, self._layout.pos_pad, cap
-                    )
-
-                d, l, n = self._encode_with_cap(enc2)
-            if n < 0:
-                return False
+                count_sums.append(("full", csum))
             slot["bits"].append(bits)
-            slot["runs"].append((d, l))
-            count_sums.append(csum)
-        # normalize every slab's arrays to the final budget (growth and
-        # bootstrap may have produced other sizes; zero entries are
-        # no-op runs, oversize tails beyond n are zeros)
-        cap = self._run_cap
-        slot["runs"] = [
-            (_pad_u8(d, cap), _pad_u8(l, cap)) for d, l in slot["runs"]
-        ]
-        return True
+            if use_runs:
 
-    def _upload(self, slot):
-        """Start one sample's host->device transfers (async)."""
-        import jax
+                def enc(cap, _bits=bits, _vb=st["valid_bits"]):
+                    return bits_to_runs(_bits, _vb, self._layout.pos_pad,
+                                        cap)
 
-        for si in range(len(self._statics)):
-            dev = self._statics[si]["device"]
-            if slot["runs"] is not None:
-                d, l = slot["runs"][si]
-                slot["dev"][si] = (
-                    jax.device_put(d, dev), jax.device_put(l, dev)
-                )
+                d, l, n = self._encode_with_cap(enc)
+                if n < 0:
+                    all_runs = False
+                else:
+                    slot["runs"].append((d, l))
             else:
-                slot["dev"][si] = jax.device_put(slot["bits"][si], dev)
+                all_runs = False
+        if use_runs and all_runs:
+            cap = self._run_cap
+            slot["runs"] = [
+                (_pad_u8(d, cap), _pad_u8(l, cap))
+                for d, l in slot["runs"]
+            ]
+        else:
+            slot["runs"] = None
 
     def _discard_pending(self, key):
         self._pending = [s for s in self._pending if s["key"] != key]
 
     def _flush_pending(self):
-        """Dispatch the pending group as ONE (asynchronous) execution
-        per slab. Groups are padded to the fixed ``batch`` row count
-        with repeats of the first sample's payload - same device
-        buffers, zero extra wire - so every dispatch reuses one
-        compiled program per slab shape. If every queued sample fits
-        the run budget the compact run program is used; any bitmap
-        sample drops the whole group to the bitmap program (rare;
-        bitmap payloads for run-encoded slots are uploaded on the
-        spot)."""
+        """Dispatch the pending group as ONE stacked device_put + ONE
+        (asynchronous) execution per slab. Groups are padded to the
+        fixed ``batch`` row count with zero rows (a zero run stream /
+        zero bitmap is a valid no-op payload), so every dispatch
+        reuses one compiled program per slab shape. If every queued
+        sample fits the run budget the compact run program is used;
+        any bitmap sample drops the whole group to the bitmap program
+        (the presence bitmaps always exist - no re-pack)."""
         group = self._pending
         self._pending = []
         if not group:
@@ -684,47 +663,32 @@ class DevicePrefixScorer:
             self._jobs[slot["key"]] = (token, row)
 
     def _dispatch_group(self, group, kind):
-        """Launch the batched scoring program for one group; execution
-        and result fetch proceed asynchronously. Returns the per-slab
-        result handles."""
+        """Launch the batched scoring program for one group; transfer,
+        execution and result fetch proceed asynchronously. Returns the
+        per-slab result handles."""
         import jax
-
-        from ..native import runs_to_bits
 
         rows = self.batch
         fn = self._score_fn(kind)
         handles = []
         for si in range(len(self._statics)):
             st = self._statics[si]
-            args = []
-            for slot in group:
-                if kind == "runs":
-                    args.append(slot["dev"][si])
-                elif slot["runs"] is not None:
-                    # group fell back to bitmaps after this sample's
-                    # run payload was uploaded: ship its bitmap now
-                    # (fused-path slots reconstruct it from the runs)
-                    bits = slot["bits"][si]
-                    if bits is None:
-                        d, l = slot["runs"][si]
-                        bits = runs_to_bits(
-                            d, l, st["valid_bits"], self._layout.pos_pad
-                        )
-                        slot["bits"][si] = bits
-                    args.append(jax.device_put(bits, st["device"]))
-                else:
-                    args.append(slot["dev"][si])
-            while len(args) < rows:
-                args.append(args[0])  # dummy rows reuse sample 0
             if kind == "runs":
-                h = fn(
-                    tuple(a[0] for a in args), tuple(a[1] for a in args),
-                    st["cs_tot"], st["w_start"], st["w_hi"],
-                )
+                cap = self._run_cap
+                mat = np.zeros((rows, 2, cap), np.uint8)
+                for r, slot in enumerate(group):
+                    d, l = slot["runs"][si]
+                    mat[r, 0, : min(d.shape[0], cap)] = d[:cap]
+                    mat[r, 1, : min(l.shape[0], cap)] = l[:cap]
             else:
-                h = fn(
-                    tuple(args), st["cs_tot"], st["w_start"], st["w_hi"]
-                )
+                nbb = self._layout.pos_pad // 8
+                mat = np.zeros((rows, nbb), np.uint8)
+                for r, slot in enumerate(group):
+                    mat[r] = slot["bits"][si]
+            h = fn(
+                jax.device_put(mat, st["device"]),
+                st["cs_tot"], st["w_start"], st["w_hi"],
+            )
             # start the device->host copy as soon as the exec finishes,
             # so the fetch round trip overlaps later submits/writes
             try:
@@ -769,16 +733,19 @@ class DevicePrefixScorer:
         }
         for si, slab in enumerate(slabs):
             arr = group_arrs[si]  # (5, S, win_pad)
-            csum = csums[si]
+            csum_kind, csum = csums[si]
             for chrom, c_off, s_off, cnt in slab["wins"]:
                 dst = out[chrom]
                 for fi, f in enumerate(_FIELDS):
                     dst[f][c_off : c_off + cnt] = arr[
                         fi, row, s_off : s_off + cnt
                     ]
-                dst["count_sum"][c_off : c_off + cnt] = csum[
-                    s_off : s_off + cnt
-                ]
+                cs = csum[s_off : s_off + cnt].astype(np.int64)
+                if csum_kind == "corr":
+                    # ordinal pack ships corrections only:
+                    # count_sum = observed + sum(count - 1)
+                    cs = cs + arr[0, row, s_off : s_off + cnt]
+                dst["count_sum"][c_off : c_off + cnt] = cs
         self._results[key] = out
         return out
 

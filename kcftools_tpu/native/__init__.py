@@ -123,6 +123,20 @@ def get_lib():
         lib.kcf_bits_to_runs.argtypes = [
             u8p, u8p, ctypes.c_int64, u8p, u8p, ctypes.c_int64,
         ]
+        lib.kcf_ordpack.restype = None
+        lib.kcf_ordpack.argtypes = [
+            u8p, ctypes.c_int64, i32p, u32p, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int64, ctypes.c_uint32,
+            i32p, i32p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            u8p, u8p, ctypes.c_int64, _i64p,
+            _i64p, i32p, ctypes.c_int64,
+        ]
+        lib.kcf_window_stats_bits.restype = None
+        lib.kcf_window_stats_bits.argtypes = [
+            u8p, u8p, ctypes.c_int64, ctypes.c_int32, i32p, i32p,
+            ctypes.c_int64, _i64p,
+        ]
         lib.kcf_sorted_lookup.restype = None
         lib.kcf_sorted_lookup.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
@@ -524,6 +538,146 @@ def bits_to_runs(present_bits, valid_bits, n_pos, cap):
             ln -= take
         prev_end = e
     return out_d, out_l, k
+
+
+def build_ordmap(r_idx):
+    """Static per-slab occurrence map for the ordinal-space pack: the
+    valid positions of ``r_idx`` sorted by reference ordinal, plus the
+    map's identity-run segments (within a segment
+    ord = seg_ord[s] + o - seg_off[s], letting the native kernel load
+    counts contiguously instead of gathering). Returns
+    (occ_ord int32 non-decreasing, occ_pos int32,
+    seg_off int64 (n_seg+1), seg_ord int32 (n_seg)). Built once per
+    slab (native radix sort) and reused by every sample."""
+    r_idx = np.ascontiguousarray(r_idx, np.int32)
+    pos = np.flatnonzero(r_idx >= 0).astype(np.uint32)
+    keys = r_idx[pos.astype(np.int64)].astype(np.uint64)
+    sk, sv = sort_pairs(keys, pos)
+    occ_ord = sk.astype(np.int32)
+    occ_pos = sv.astype(np.int32)
+    n_occ = occ_ord.shape[0]
+    if n_occ == 0:
+        return (occ_ord, occ_pos, np.zeros(1, np.int64),
+                np.empty(0, np.int32))
+    breaks = np.flatnonzero(np.diff(occ_ord) != 1).astype(np.int64) + 1
+    seg_off = np.empty(breaks.shape[0] + 2, np.int64)
+    seg_off[0] = 0
+    seg_off[1:-1] = breaks
+    seg_off[-1] = n_occ
+    seg_ord = occ_ord[seg_off[:-1]]
+    return occ_ord, occ_pos, seg_off, np.ascontiguousarray(seg_ord)
+
+
+def _uniform_window_map(w_start, w_hi):
+    """(base, stride) when windows form an equally-spaced sorted
+    non-overlapping tiling (position -> window is then a division);
+    (0, 0) otherwise (binary-search mapping)."""
+    n = w_start.shape[0]
+    if n == 0:
+        return 0, 0
+    if n == 1:
+        return int(w_start[0]), int(max(w_hi[0] - w_start[0] + 1, 1))
+    d = np.diff(w_start.astype(np.int64))
+    stride = int(d[0])
+    if stride <= 0 or not (d == stride).all():
+        return 0, 0
+    if not (w_hi[:-1].astype(np.int64) < w_start[1:].astype(np.int64)).all():
+        return 0, 0
+    return int(w_start[0]), stride
+
+
+def ordpack(counts_u8, exc_idx, exc_val, occ_ord, occ_pos, min_count,
+            w_start, w_hi, valid_bits, n_bits_bytes, uni=None,
+            seg_off=None, seg_ord=None):
+    """Ordinal-space presence pack (see kcf_ordpack): builds one
+    sample's positional presence bitmap and per-window count-sum
+    CORRECTIONS (count_sum = observed + corr) from sequential streams -
+    no random positional gather. Requires sorted non-overlapping
+    windows. Returns (present_bits, corr_int64). Numpy fallback
+    composes the same algebra vectorized."""
+    w_start = np.ascontiguousarray(w_start, np.int32)
+    w_hi = np.ascontiguousarray(w_hi, np.int32)
+    n_win = w_start.shape[0]
+    if uni is None:
+        uni = _uniform_window_map(w_start, w_hi)
+    lib = get_lib()
+    if lib is not None:
+        counts_u8 = np.ascontiguousarray(counts_u8, np.uint8)
+        exc_idx = np.ascontiguousarray(exc_idx, np.int32)
+        exc_val = np.ascontiguousarray(exc_val, np.uint32)
+        present = np.empty(n_bits_bytes, np.uint8)
+        corr = np.empty(n_win, np.int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        n_seg = 0 if seg_off is None else seg_off.shape[0] - 1
+        lib.kcf_ordpack(
+            counts_u8.ctypes.data_as(u8p), counts_u8.shape[0],
+            exc_idx.ctypes.data_as(i32p), _u32p(exc_val),
+            exc_idx.shape[0],
+            occ_ord.ctypes.data_as(i32p), occ_pos.ctypes.data_as(i32p),
+            occ_ord.shape[0], ctypes.c_uint32(min_count),
+            w_start.ctypes.data_as(i32p), w_hi.ctypes.data_as(i32p),
+            n_win, uni[0], uni[1],
+            valid_bits.ctypes.data_as(u8p),
+            present.ctypes.data_as(u8p), n_bits_bytes,
+            corr.ctypes.data_as(i64p),
+            seg_off.ctypes.data_as(i64p) if n_seg > 0 else None,
+            seg_ord.ctypes.data_as(i32p) if n_seg > 0 else None,
+            n_seg,
+        )
+        return present, corr
+    # numpy fallback: widen exceptions, resolve counts per occurrence
+    wide_c = np.asarray(counts_u8, np.uint32).copy()
+    wide_c[np.asarray(exc_idx, np.int64)] = exc_val
+    c = wide_c[occ_ord.astype(np.int64)]
+    pres_occ = c >= np.uint32(min_count)
+    n_pos = n_bits_bytes * 8
+    absent = np.zeros(n_pos, bool)
+    absent[occ_pos[~pres_occ].astype(np.int64)] = True
+    valid = np.unpackbits(valid_bits, bitorder="little")[:n_pos].astype(bool)
+    present = np.packbits(valid & ~absent, bitorder="little")
+    out = np.zeros(n_bits_bytes, np.uint8)
+    out[: present.shape[0]] = present
+    corr = np.zeros(n_win, np.int64)
+    sel = pres_occ & (c != 1)
+    if sel.any():
+        p = occ_pos[sel].astype(np.int64)
+        w = np.searchsorted(w_start.astype(np.int64), p, side="right") - 1
+        ok = (w >= 0) & (p <= w_hi.astype(np.int64)[np.maximum(w, 0)])
+        np.add.at(corr, w[ok], c[sel].astype(np.int64)[ok] - 1)
+    return out, corr
+
+
+def window_stats_bits(present_bits, valid_bits, n_pos, k, w_start, w_hi):
+    """Window statistics straight from presence/validity bitmaps (see
+    kcf_window_stats_bits): the gap-run state machine over bit words,
+    gaps counting valid-absent positions only. Returns the usual dict
+    WITHOUT count_sum (use ordpack's corr + observed). None when the
+    native library is unavailable (callers fall back to
+    window_scan_u8 or the numpy prefix path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w_start = np.ascontiguousarray(w_start, np.int32)
+    w_hi = np.ascontiguousarray(w_hi, np.int32)
+    n_win = w_start.shape[0]
+    out = np.empty((5, n_win), np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.kcf_window_stats_bits(
+        present_bits.ctypes.data_as(u8p), valid_bits.ctypes.data_as(u8p),
+        n_pos, ctypes.c_int32(k),
+        w_start.ctypes.data_as(i32p), w_hi.ctypes.data_as(i32p), n_win,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return {
+        "observed": out[0],
+        "variations": out[1],
+        "inner": out[2],
+        "left": out[3],
+        "right": out[4],
+    }
 
 
 def pack_runs_fused(counts_u8, exc_idx, exc_val, r_idx, min_count,

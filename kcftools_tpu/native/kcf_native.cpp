@@ -2662,5 +2662,581 @@ int64_t kcf_pack_runs_fused(const uint8_t* counts, int64_t n_counts,
   return k;
 }
 
+// ---------------------------------------------------------------------------
+// Ordinal-space presence pack: build one sample's positional presence
+// bitmap and per-window count-sum CORRECTIONS with NO random gather
+// into the merge output. The per-sample random positional gather
+// (u8[r_idx[p]], the dominant cost of kcf_pack_runs_fused and of
+// window_scan pass A) is replaced by sequential streams over static
+// per-slab occurrence arrays sorted by reference ordinal:
+//
+//   occ_ord[o]  ordinal of the o-th occurrence (non-decreasing)
+//   occ_pos[o]  its slab position
+//
+// Reading counts[occ_ord[o]] is then a non-decreasing (cache-resident)
+// access, absent occurrences scatter single bits into an L2-resident
+// bitmap, and exact count sums decompose as
+//     count_sum[w] = observed[w] + sum_{present p in w} (count_p - 1)
+// so the correction accumulates only for counts != 1 (rare for
+// assembly-derived KMC DBs) - observed comes later from the presence
+// stats (host bit walk or the device program). Semantics replaced:
+// Plugins/GetVariants.java:202-261's per-k-mer count lookup.
+//
+// Window mapping (for corrections) requires sorted, non-overlapping
+// windows: uniform tiling when uni_stride > 0 (w_start[i] must equal
+// uni_base + i*uni_stride), else binary search. out_present receives
+// valid & ~absent (LSB-first, zeroed + rebuilt here); out_corr is
+// (n_win) int64, zeroed here.
+static void ordpack_range(const uint8_t* counts, const int32_t* exc_idx,
+                          const uint32_t* exc_val, int64_t n_exc,
+                          const int32_t* occ_ord, const int32_t* occ_pos,
+                          int64_t o0, int64_t o1, uint32_t min_count,
+                          const int32_t* w_start, const int32_t* w_hi,
+                          int64_t n_win, int64_t uni_base,
+                          int64_t uni_stride, uint8_t* absent,
+                          int64_t* corr) {
+  // exceptions pointer: ordinals are non-decreasing in [o0, o1)
+  int64_t e = 0;
+  if (o0 < o1) {
+    int32_t first = occ_ord[o0];
+    int64_t lo = 0, hi = n_exc;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (exc_idx[mid] < first)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    e = lo;
+  }
+  for (int64_t o = o0; o < o1; ++o) {
+    int32_t r = occ_ord[o];
+    uint32_t c = counts[r];
+    if (__builtin_expect(c == 255u, 0)) {
+      while (e < n_exc && exc_idx[e] < r) ++e;
+      if (e < n_exc && exc_idx[e] == r) c = exc_val[e];
+    }
+    int64_t p = occ_pos[o];
+    if (c < min_count) {
+      absent[p >> 3] |= (uint8_t)(1u << (p & 7));
+      continue;
+    }
+    if (__builtin_expect(c != 1u, 0)) {
+      int64_t w;
+      if (uni_stride > 0) {
+        w = (p - uni_base) / uni_stride;
+        if (w < 0 || w >= n_win || p > (int64_t)w_hi[w] ||
+            p < (int64_t)w_start[w])
+          continue;
+      } else {
+        int64_t lo = 0, hi = n_win;
+        while (lo < hi) {
+          int64_t mid = (lo + hi) >> 1;
+          if ((int64_t)w_start[mid] <= p)
+            lo = mid + 1;
+          else
+            hi = mid;
+        }
+        w = lo - 1;
+        if (w < 0 || p > (int64_t)w_hi[w]) continue;
+      }
+      corr[w] += (int64_t)c - 1;
+    }
+  }
+}
+
+#if defined(__x86_64__)
+// 16-lane ordpack: gather counts at the (non-decreasing, cache-hot)
+// ordinals, compare once, and fall to scalar work ONLY for absent
+// lanes (bit scatter), count!=1 lanes (window correction) and
+// saturated-255 lanes (exception resolve) - the all-present-count-1
+// common case costs a handful of instructions per 16 occurrences.
+__attribute__((target("avx512f,avx512bw,avx512vl")))
+static void ordpack_range_simd(const uint8_t* counts, int64_t n_ref,
+                               const int32_t* exc_idx,
+                               const uint32_t* exc_val, int64_t n_exc,
+                               const int32_t* occ_ord,
+                               const int32_t* occ_pos, int64_t o0,
+                               int64_t o1, uint32_t min_count,
+                               const int32_t* w_start, const int32_t* w_hi,
+                               int64_t n_win, int64_t uni_base,
+                               int64_t uni_stride, uint8_t* absent,
+                               int64_t* corr) {
+  int64_t e = 0;  // exceptions pointer (ordinals non-decreasing)
+  if (o0 < o1) {
+    int32_t first = occ_ord[o0];
+    int64_t lo = 0, hi = n_exc;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (exc_idx[mid] < first)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    e = lo;
+  }
+  auto window_of = [&](int64_t p) -> int64_t {
+    if (uni_stride > 0) {
+      int64_t w = (p - uni_base) / uni_stride;
+      if (w < 0 || w >= n_win || p > (int64_t)w_hi[w] ||
+          p < (int64_t)w_start[w])
+        return -1;
+      return w;
+    }
+    int64_t lo = 0, hi = n_win;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if ((int64_t)w_start[mid] <= p)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    int64_t w = lo - 1;
+    return (w >= 0 && p <= (int64_t)w_hi[w]) ? w : -1;
+  };
+  const __m512i ffm = _mm512_set1_epi32(0xFF);
+  const __m512i onev = _mm512_set1_epi32(1);
+  const __m512i capv = _mm512_set1_epi32((int)(n_ref - 4));
+  const __m512i v255 = _mm512_set1_epi32(255);
+  uint32_t mc = min_count > 255u ? 256u : min_count;  // lane filter
+  const __m512i minv = _mm512_set1_epi32((int)mc);
+  int64_t o = o0;
+  for (; o + 16 <= o1; o += 16) {
+    __m512i ov = _mm512_loadu_si512(occ_ord + o);
+    __mmask16 inb = _mm512_cmple_epi32_mask(ov, capv);
+    __m512i c32;
+    if (__builtin_expect(inb == 0xFFFF, 1)) {
+      c32 = _mm512_and_si512(_mm512_i32gather_epi32(ov, counts, 1), ffm);
+    } else {
+      alignas(64) int32_t tmp[16];
+      for (int l = 0; l < 16; ++l) tmp[l] = counts[occ_ord[o + l]];
+      c32 = _mm512_load_si512(tmp);
+    }
+    __mmask16 m255 = _mm512_cmpeq_epi32_mask(c32, v255);
+    __mmask16 handled = 0;
+    if (__builtin_expect(m255 != 0 && (n_exc > 0 || min_count > 255u),
+                         0)) {
+      handled = m255;
+      // resolve saturated lanes exactly (sorted walk), then redo the
+      // comparisons scalar for those lanes
+      alignas(64) int32_t cs[16];
+      _mm512_store_si512(cs, c32);
+      uint32_t mm = m255;
+      while (mm) {
+        int l = __builtin_ctz(mm);
+        mm &= mm - 1;
+        int32_t r = occ_ord[o + l];
+        while (e < n_exc && exc_idx[e] < r) ++e;
+        uint32_t c = (e < n_exc && exc_idx[e] == r) ? exc_val[e] : 255u;
+        int64_t p = occ_pos[o + l];
+        if (c < min_count) {
+          absent[p >> 3] |= (uint8_t)(1u << (p & 7));
+        } else if (c != 1u) {
+          int64_t w = window_of(p);
+          if (w >= 0) corr[w] += (int64_t)c - 1;
+        }
+      }
+      // non-255 lanes continue below with the resolved lanes masked
+    }
+    __mmask16 live = (__mmask16)~handled;
+    __mmask16 absent_m =
+        _mm512_mask_cmplt_epi32_mask(live, c32, minv);
+    if (min_count > 255u) absent_m = live;  // nothing <=254 passes
+    __mmask16 corr_m = _mm512_mask_cmpneq_epi32_mask(
+        (__mmask16)(live & ~absent_m), c32, onev);
+    if (__builtin_expect(absent_m != 0, 1)) {
+      uint32_t mm = absent_m;
+      while (mm) {
+        int l = __builtin_ctz(mm);
+        mm &= mm - 1;
+        int64_t p = occ_pos[o + l];
+        absent[p >> 3] |= (uint8_t)(1u << (p & 7));
+      }
+    }
+    if (__builtin_expect(corr_m != 0, 0)) {
+      alignas(64) int32_t cs[16];
+      _mm512_store_si512(cs, c32);
+      uint32_t mm = corr_m;
+      while (mm) {
+        int l = __builtin_ctz(mm);
+        mm &= mm - 1;
+        int64_t p = occ_pos[o + l];
+        int64_t w = window_of(p);
+        if (w >= 0) corr[w] += (int64_t)cs[l] - 1;
+      }
+    }
+  }
+  if (o < o1)
+    ordpack_range(counts, exc_idx, exc_val, n_exc, occ_ord, occ_pos, o,
+                  o1, min_count, w_start, w_hi, n_win, uni_base,
+                  uni_stride, absent, corr);
+}
+#endif  // __x86_64__
+
+#if defined(__x86_64__)
+// Segment fast path: within a segment ordinals are CONSECUTIVE
+// (ord = ord0 + (o - o0)), so counts load contiguously 64 bytes at a
+// time - no gather, no occ_ord stream. Segments come from the static
+// map's identity runs (duplicate/missing ordinals break them); the
+// caller uses this path only when segments are long on average.
+__attribute__((target("avx512f,avx512bw,avx512vl")))
+static void ordpack_segs_simd(const uint8_t* counts, int64_t n_ref,
+                              const int32_t* exc_idx,
+                              const uint32_t* exc_val, int64_t n_exc,
+                              const int64_t* seg_off,
+                              const int32_t* seg_ord, int64_t n_seg,
+                              int64_t o_lo, int64_t o_hi,
+                              const int32_t* occ_pos, uint32_t min_count,
+                              const int32_t* w_start, const int32_t* w_hi,
+                              int64_t n_win, int64_t uni_base,
+                              int64_t uni_stride, uint8_t* absent,
+                              int64_t* corr) {
+  (void)n_ref;
+  auto window_of = [&](int64_t p) -> int64_t {
+    if (uni_stride > 0) {
+      int64_t w = (p - uni_base) / uni_stride;
+      if (w < 0 || w >= n_win || p > (int64_t)w_hi[w] ||
+          p < (int64_t)w_start[w])
+        return -1;
+      return w;
+    }
+    int64_t lo = 0, hi = n_win;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if ((int64_t)w_start[mid] <= p)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    int64_t w = lo - 1;
+    return (w >= 0 && p <= (int64_t)w_hi[w]) ? w : -1;
+  };
+  int64_t e = 0;
+  bool e_init = false;
+  uint32_t mc = min_count > 255u ? 255u : min_count;
+  const __m512i minv = _mm512_set1_epi8((char)(uint8_t)mc);
+  const __m512i onev = _mm512_set1_epi8((char)1);
+  const __m512i v255 = _mm512_set1_epi8((char)0xFF);
+  // first segment whose occurrence range intersects [o_lo, o_hi)
+  int64_t s = 0;
+  {
+    int64_t lo = 0, hi = n_seg;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (seg_off[mid] <= o_lo)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    s = lo > 0 ? lo - 1 : 0;
+  }
+  for (; s < n_seg && seg_off[s] < o_hi; ++s) {
+    int64_t o0 = std::max(seg_off[s], o_lo);
+    int64_t o1 = std::min(seg_off[s + 1], o_hi);
+    if (o0 >= o1) continue;
+    int64_t ord0 = (int64_t)seg_ord[s] + (o0 - seg_off[s]);
+    if (!e_init) {
+      int64_t lo = 0, hi = n_exc;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if ((int64_t)exc_idx[mid] < ord0)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      e = lo;
+      e_init = true;
+    }
+    for (int64_t o = o0; o < o1; o += 64) {
+      int64_t nb = std::min<int64_t>(64, o1 - o);
+      __mmask64 lanes =
+          nb == 64 ? ~0ull : ((1ull << nb) - 1u);
+      __m512i cv = _mm512_maskz_loadu_epi8(
+          lanes, counts + ord0 + (o - o0));
+      __mmask64 m255 =
+          _mm512_mask_cmpeq_epu8_mask(lanes, cv, v255);
+      __mmask64 handled = 0;
+      if (__builtin_expect(
+              m255 != 0 && (n_exc > 0 || min_count > 255u), 0)) {
+        handled = m255;
+        uint64_t mm = m255;
+        while (mm) {
+          int l = __builtin_ctzll(mm);
+          mm &= mm - 1;
+          int64_t r = ord0 + (o - o0) + l;
+          while (e < n_exc && (int64_t)exc_idx[e] < r) ++e;
+          uint32_t c =
+              (e < n_exc && (int64_t)exc_idx[e] == r) ? exc_val[e] : 255u;
+          int64_t p = occ_pos[o + l];
+          if (c < min_count) {
+            absent[p >> 3] |= (uint8_t)(1u << (p & 7));
+          } else if (c != 1u) {
+            int64_t w = window_of(p);
+            if (w >= 0) corr[w] += (int64_t)c - 1;
+          }
+        }
+      }
+      __mmask64 live = lanes & ~handled;
+      __mmask64 absent_m =
+          min_count > 255u
+              ? live
+              : _mm512_mask_cmplt_epu8_mask(live, cv, minv);
+      uint64_t mm = absent_m;
+      while (mm) {
+        int l = __builtin_ctzll(mm);
+        mm &= mm - 1;
+        int64_t p = occ_pos[o + l];
+        absent[p >> 3] |= (uint8_t)(1u << (p & 7));
+      }
+      __mmask64 corr_m = _mm512_mask_cmpneq_epu8_mask(
+          live & ~absent_m, cv, onev);
+      if (__builtin_expect(corr_m != 0, 0)) {
+        alignas(64) uint8_t cs[64];
+        _mm512_storeu_si512(cs, cv);
+        mm = corr_m;
+        while (mm) {
+          int l = __builtin_ctzll(mm);
+          mm &= mm - 1;
+          int64_t p = occ_pos[o + l];
+          int64_t w = window_of(p);
+          if (w >= 0) corr[w] += (int64_t)cs[l] - 1;
+        }
+      }
+    }
+  }
+}
+#endif  // __x86_64__
+
+static void ordpack_dispatch(const uint8_t* counts, int64_t n_ref,
+                             const int32_t* exc_idx,
+                             const uint32_t* exc_val, int64_t n_exc,
+                             const int32_t* occ_ord,
+                             const int32_t* occ_pos,
+                             const int64_t* seg_off,
+                             const int32_t* seg_ord, int64_t n_seg,
+                             int64_t o0, int64_t o1, uint32_t min_count,
+                             const int32_t* w_start, const int32_t* w_hi,
+                             int64_t n_win, int64_t uni_base,
+                             int64_t uni_stride, uint8_t* absent,
+                             int64_t* corr) {
+#if defined(__x86_64__)
+  if (cpu_simd_merge() && n_ref >= 8 && o1 - o0 >= 64) {
+    if (n_seg > 0) {
+      ordpack_segs_simd(counts, n_ref, exc_idx, exc_val, n_exc, seg_off,
+                        seg_ord, n_seg, o0, o1, occ_pos, min_count,
+                        w_start, w_hi, n_win, uni_base, uni_stride,
+                        absent, corr);
+      return;
+    }
+    ordpack_range_simd(counts, n_ref, exc_idx, exc_val, n_exc, occ_ord,
+                       occ_pos, o0, o1, min_count, w_start, w_hi, n_win,
+                       uni_base, uni_stride, absent, corr);
+    return;
+  }
+#endif
+  (void)seg_off;
+  (void)seg_ord;
+  (void)n_seg;
+  ordpack_range(counts, exc_idx, exc_val, n_exc, occ_ord, occ_pos, o0, o1,
+                min_count, w_start, w_hi, n_win, uni_base, uni_stride,
+                absent, corr);
+}
+
+// seg_off (n_seg + 1 occurrence offsets) / seg_ord (n_seg start
+// ordinals) describe the occurrence map's identity runs
+// (ord = seg_ord[s] + o - seg_off[s]); when supplied AND long on
+// average they replace the gather with contiguous count loads
+// (occ_ord is then only needed by the scalar fallback and may be the
+// same array). Pass n_seg = 0 to force the gather path.
+void kcf_ordpack(const uint8_t* counts, int64_t n_ref,
+                 const int32_t* exc_idx, const uint32_t* exc_val,
+                 int64_t n_exc, const int32_t* occ_ord,
+                 const int32_t* occ_pos, int64_t n_occ, uint32_t min_count,
+                 const int32_t* w_start, const int32_t* w_hi, int64_t n_win,
+                 int64_t uni_base, int64_t uni_stride,
+                 const uint8_t* valid_bits, uint8_t* out_present,
+                 int64_t n_bits_bytes, int64_t* out_corr,
+                 const int64_t* seg_off, const int32_t* seg_ord,
+                 int64_t n_seg) {
+  std::memset(out_corr, 0, (size_t)n_win * sizeof(int64_t));
+#if defined(__x86_64__)
+  if (!(cpu_simd_merge() && n_seg > 0 && seg_off != nullptr &&
+        n_occ >= 48 * n_seg))
+    n_seg = 0;
+#else
+  n_seg = 0;
+#endif
+  int T = pick_threads(n_occ, 1 << 19);
+  if (T <= 1) {
+    std::memset(out_present, 0, (size_t)n_bits_bytes);
+    ordpack_dispatch(counts, n_ref, exc_idx, exc_val, n_exc, occ_ord,
+                     occ_pos, seg_off, seg_ord, n_seg, 0, n_occ,
+                     min_count, w_start, w_hi, n_win, uni_base,
+                     uni_stride, out_present, out_corr);
+  } else {
+    // private absent bitmaps + correction accumulators; OR/sum-merge
+    std::vector<std::vector<uint8_t>> t_abs((size_t)T);
+    std::vector<std::vector<int64_t>> t_corr((size_t)T);
+    std::vector<std::thread> ws;
+    int64_t step = (n_occ + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+      int64_t a = t * step, b = std::min(n_occ, a + step);
+      if (a >= b) break;
+      ws.emplace_back([&, t, a, b]() {
+        t_abs[t].assign((size_t)n_bits_bytes, 0);
+        t_corr[t].assign((size_t)n_win, 0);
+        ordpack_dispatch(counts, n_ref, exc_idx, exc_val, n_exc, occ_ord,
+                         occ_pos, seg_off, seg_ord, n_seg, a, b,
+                         min_count, w_start, w_hi, n_win, uni_base,
+                         uni_stride, t_abs[t].data(), t_corr[t].data());
+      });
+    }
+    for (auto& th : ws) th.join();
+    std::memset(out_present, 0, (size_t)n_bits_bytes);
+    for (auto& v : t_abs) {
+      if (v.empty()) continue;
+      uint64_t* dst = (uint64_t*)out_present;
+      const uint64_t* src = (const uint64_t*)v.data();
+      int64_t nw = n_bits_bytes / 8;
+      for (int64_t i = 0; i < nw; ++i) dst[i] |= src[i];
+      for (int64_t i = nw * 8; i < n_bits_bytes; ++i)
+        out_present[i] |= v[(size_t)i];
+    }
+    for (auto& v : t_corr) {
+      if (v.empty()) continue;
+      for (int64_t i = 0; i < n_win; ++i) out_corr[i] += v[(size_t)i];
+    }
+  }
+  // absent -> present: valid & ~absent
+  {
+    uint64_t* dst = (uint64_t*)out_present;
+    const uint64_t* vv = (const uint64_t*)valid_bits;
+    int64_t nw = n_bits_bytes / 8;
+    for (int64_t i = 0; i < nw; ++i) dst[i] = vv[i] & ~dst[i];
+    for (int64_t i = nw * 8; i < n_bits_bytes; ++i)
+      out_present[i] = valid_bits[i] & (uint8_t)~out_present[i];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Window statistics from presence + validity bitmaps: the per-window
+// gap-run state machine (Plugins/GetVariants.java:219-251, distance
+// correction :267-273) replayed over bit words. Gap lengths count
+// VALID absent positions only (invalid k-mers are skipped entirely,
+// Fasta.java:97-124 semantics), handled uniformly via popcounts of
+// av = valid & ~present between present bits - no scalar fallback for
+// N-containing windows. Output field-major int64 (5, n_win):
+// observed, variations, inner, left, right (count sums come from
+// kcf_ordpack's corrections + observed). Windows may overlap
+// (each is walked independently).
+static void stats_bits_range(const uint8_t* present_bits,
+                             const uint8_t* valid_bits, int64_t n_pos,
+                             int32_t k, const int32_t* w_start,
+                             const int32_t* w_hi, int64_t w_lo,
+                             int64_t w_end, int64_t n_win, int64_t* out) {
+  int64_t* o_obs = out;
+  int64_t* o_var = out + n_win;
+  int64_t* o_inn = out + 2 * n_win;
+  int64_t* o_lft = out + 3 * n_win;
+  int64_t* o_rgt = out + 4 * n_win;
+  for (int64_t w = w_lo; w < w_end; ++w) {
+    int64_t s = w_start[w];
+    int64_t hi = w_hi[w];
+    if (hi >= n_pos) hi = n_pos - 1;
+    int64_t obs = 0, var_ = 0, inner = 0, left = 0, right = 0;
+    if (hi < s) {
+      o_obs[w] = o_var[w] = o_inn[w] = o_lft[w] = o_rgt[w] = 0;
+      continue;
+    }
+    int64_t run = 0;
+    bool seen = false, any = false;
+    for (int64_t ww = s >> 6; ww <= hi >> 6; ++ww) {
+      uint64_t pr = 0, vv = 0;
+      int64_t nb = std::min<int64_t>(8, (n_pos + 7) / 8 - ww * 8);
+      std::memcpy(&pr, present_bits + ww * 8, (size_t)nb);
+      std::memcpy(&vv, valid_bits + ww * 8, (size_t)nb);
+      int64_t base = ww << 6;
+      // mask to the window's bit range within this word
+      if (base < s) {
+        uint64_t m = ~0ull << (s - base);
+        pr &= m;
+        vv &= m;
+      }
+      if (base + 63 > hi) {
+        uint64_t m = ~0ull >> (base + 63 - hi);
+        pr &= m;
+        vv &= m;
+      }
+      if (!vv) continue;
+      any = true;
+      uint64_t av = vv & ~pr;
+      if (!pr) {
+        run += (int64_t)__builtin_popcountll(av);
+        continue;
+      }
+      obs += (int64_t)__builtin_popcountll(pr);
+      int b = 0;
+      while (b < 64) {
+        uint64_t prt = pr >> b;
+        if (!prt) {
+          run += (int64_t)__builtin_popcountll(av >> b);
+          break;
+        }
+        int t = __builtin_ctzll(prt);
+        if (t) {
+          uint64_t seg = (av >> b) & ((1ull << t) - 1u);
+          run += (int64_t)__builtin_popcountll(seg);
+        }
+        if (run > 0) {
+          ++var_;
+          if (!seen) {
+            left = run;
+          } else {
+            int64_t d = run - (k - 1);
+            inner += (d > 0) ? d : std::llabs(d + 1);
+          }
+        }
+        seen = true;
+        run = 0;
+        // skip the present stretch
+        uint64_t np = ~(prt >> t);
+        int adv = np ? __builtin_ctzll(np) : 64 - (b + t);
+        b += t + adv;
+      }
+    }
+    if (any && run > 0) {
+      ++var_;
+      right = run;
+    }
+    o_obs[w] = obs;
+    o_var[w] = var_;
+    o_inn[w] = inner;
+    o_lft[w] = left;
+    o_rgt[w] = right;
+  }
+}
+
+void kcf_window_stats_bits(const uint8_t* present_bits,
+                           const uint8_t* valid_bits, int64_t n_pos,
+                           int32_t k, const int32_t* w_start,
+                           const int32_t* w_hi, int64_t n_win,
+                           int64_t* out) {
+  int T = pick_threads(n_win, 8);
+  if (T <= 1 || n_win < 8) {
+    stats_bits_range(present_bits, valid_bits, n_pos, k, w_start, w_hi, 0,
+                     n_win, n_win, out);
+    return;
+  }
+  std::vector<std::thread> ws;
+  int64_t step = (n_win + T - 1) / T;
+  for (int t = 0; t < T; ++t) {
+    int64_t lo = t * step, hi = std::min(n_win, lo + step);
+    if (lo >= hi) break;
+    ws.emplace_back(stats_bits_range, present_bits, valid_bits, n_pos, k,
+                    w_start, w_hi, lo, hi, n_win, out);
+  }
+  for (auto& th : ws) th.join();
+}
+
 }  // extern "C"
 
