@@ -212,7 +212,8 @@ def main():
     which = os.environ.get("BENCH_ENGINE", "both")
     rungs = set(
         os.environ.get(
-            "BENCH_RUNGS", "duel,rung20,e2e,device,gtf,pipeline"
+            "BENCH_RUNGS",
+            "duel,rung20,e2e,device,gtf,pipeline,sharded,scaling",
         ).split(",")
     )
 
@@ -331,6 +332,86 @@ def main():
                 n_feat = sum(1 for l in fh if not l.startswith("#"))
             result["gtf_seconds"] = round(dt, 2)
             result["gtf_features_per_sec"] = round(n_feat / dt, 1)
+
+        if "sharded" in rungs:
+            # the wheat-scale mesh lookup path (ShardedWindowScorer):
+            # once on the real chip (1-device mesh - the on-device
+            # two-choice table machinery itself) and once on the
+            # 8-virtual-CPU mesh with the table sharded 8 ways (the
+            # shard-local placement + psum program). Subprocesses so
+            # the virtual mesh does not disturb this process' backend.
+            import subprocess
+
+            def _mesh_rung(env_extra, argv_extra):
+                env = dict(os.environ)
+                env.update(env_extra)
+                env["PYTHONPATH"] = os.pathsep.join(
+                    [os.path.dirname(os.path.abspath(__file__))]
+                    + env.get("PYTHONPATH", "").split(os.pathsep)
+                )
+                p = subprocess.run(
+                    [sys.executable, "benchmarks/mesh_bench.py"]
+                    + argv_extra,
+                    capture_output=True, text=True, timeout=560,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    env=env,
+                )
+                line = p.stdout.strip().splitlines()[-1] if p.stdout else ""
+                try:
+                    return json.loads(line)
+                except Exception:
+                    sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+                    return None
+
+            tpu = _mesh_rung({}, ["--mode", "sharded", "--windows",
+                                  "256", "--rounds", "3"])
+            if tpu:
+                result["sharded_windows_per_sec"] = tpu[
+                    "sharded_windows_per_sec"]
+                result["sharded_lookups_per_sec"] = tpu[
+                    "sharded_lookups_per_sec"]
+            vm = _mesh_rung(
+                {"KCFTOOLS_MESH_PLATFORM": "cpu"},
+                ["--mode", "sharded", "--windows", "256", "--rounds", "3"],
+            )
+            if vm:
+                result["sharded_vmesh8_windows_per_sec"] = vm[
+                    "sharded_windows_per_sec"]
+
+        if "scaling" in rungs:
+            import subprocess
+
+            env = dict(os.environ)
+            env["KCFTOOLS_MESH_PLATFORM"] = "cpu"
+            env["PYTHONPATH"] = os.pathsep.join(
+                [os.path.dirname(os.path.abspath(__file__))]
+                + env.get("PYTHONPATH", "").split(os.pathsep)
+            )
+            p = subprocess.run(
+                [sys.executable, "benchmarks/mesh_bench.py", "--mode",
+                 "scaling", "--windows", "512", "--rounds", "4"],
+                capture_output=True, text=True, timeout=560,
+                cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
+            )
+            try:
+                sc = json.loads(p.stdout.strip().splitlines()[-1])
+                result["scaling_data_axis_efficiency"] = [
+                    c["modeled_efficiency"] for c in sc["data_curve"]
+                ]
+            except Exception:
+                pass
+            p = subprocess.run(
+                [sys.executable, "benchmarks/dist_bench.py"],
+                capture_output=True, text=True, timeout=560,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=dict(os.environ),
+            )
+            try:
+                d = json.loads(p.stdout.strip().splitlines()[-1])
+                result["cross_process_efficiency"] = d[
+                    "cross_process_efficiency"]
+            except Exception:
+                pass
 
         if "pipeline" in rungs and "e2e" in rungs:
             coh = os.path.join(tmp, "cohort.kcf")

@@ -271,6 +271,20 @@ class WindowScorer:
         self._fns = {}
         self._chunk_fns = {}
 
+    def set_table(self, table):
+        """Swap in a new sample's table, keeping the compiled scoring
+        programs (same table shape -> zero recompiles; a multi-sample
+        device-engine run pays the jit cost once, not per sample).
+        k/strandedness must match the construction-time table."""
+        if table.k != self.k or table.both_strands != self.both_strands:
+            raise ValueError("table k/strandedness changed; new scorer needed")
+        put = (
+            (lambda x: jax.device_put(x, self.device))
+            if self.device
+            else jax.device_put
+        )
+        self.tbl = put(table.tbl)
+
     def _fn(self, Lp: int):
         if Lp not in self._fns:
             self._fns[Lp] = jax.jit(

@@ -223,7 +223,9 @@ def run(args):
         """Per-sample ingest (KMC decode + key sort) - reference-
         independent, so sample i+1 ingests on a background thread while
         sample i is scored and written (the IO analog of the
-        reference's thread pool over windows)."""
+        reference's thread pool over windows). For the on-chip hash
+        engine the per-sample table is also built here, overlapping the
+        previous sample's device executions."""
         kmc = KMCReader(db_prefix, materialize=bool(args.memory))
         k = kmc.kmer_length
         if args.feature == "window":
@@ -235,9 +237,22 @@ def run(args):
             # pipeline (k <= 32)
             uh = args.engine in ("auto", "hybrid", "dprefix")
         db_sorted = None
+        pre_table = None
         if uh and args.memory:
             db_sorted = _sort_db(kmc, k)
-        return kmc, uh, db_sorted
+        elif not uh and k <= 32:
+            import jax
+
+            if jax.device_count() == 1:
+                from ..engine.hashtable import build_table
+
+                if kmc.kmers is None:
+                    kmc._read_records()
+                pre_table = build_table(
+                    kmc.kmers, kmc.counts, k,
+                    both_strands=kmc.both_strands,
+                )
+        return kmc, uh, db_sorted, pre_table
 
     pool = (
         ThreadPoolExecutor(max_workers=1) if len(kmc_list) > 1 else None
@@ -247,6 +262,7 @@ def run(args):
     refidx = None
     plan = None
     dscorer = None
+    dev_state = {}  # on-chip hash engine: scorer reused across samples
     group = []  # device-engine samples submitted but not yet written
 
     def _flush_group():
@@ -262,11 +278,11 @@ def run(args):
         zip(kmc_list, samples, outputs)
     ):
         if pool is not None:
-            kmc, use_hybrid, db_sorted = pending.result()
+            kmc, use_hybrid, db_sorted, pre_table = pending.result()
             if i + 1 < len(kmc_list):
                 pending = pool.submit(_ingest, kmc_list[i + 1])
         else:
-            kmc, use_hybrid, db_sorted = _ingest(db_prefix)
+            kmc, use_hybrid, db_sorted, pre_table = _ingest(db_prefix)
         k = kmc.kmer_length
         if k > 32 and not use_hybrid:
             Logger.error(
@@ -320,6 +336,7 @@ def run(args):
         _run_one_sample(
             args, index, gtf, refidx, kmc, k, sample, out_path, use_hybrid,
             plan, dscorer, db_sorted, db_prefix,
+            dev_state=dev_state, pre_table=pre_table,
         )
     if group:
         _flush_group()
@@ -467,7 +484,8 @@ def _build_window_plan(args, index, refidx, k):
     return plan
 
 
-def _make_scorer(args, kmc, k, db_prefix=None):
+def _make_scorer(args, kmc, k, db_prefix=None, dev_state=None,
+                 pre_table=None):
     import jax
 
     from ..engine.hashtable import build_table
@@ -516,17 +534,38 @@ def _make_scorer(args, kmc, k, db_prefix=None):
             kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands
         )
         return ShardedWindowScorer(table, mesh, min_count=args.min_k_count)
-    if kmc.kmers is None:
-        kmc._read_records()
-    table = build_table(
-        kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands
-    )
+    table = pre_table
+    if table is None:
+        if kmc.kmers is None:
+            kmc._read_records()
+        table = build_table(
+            kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands
+        )
+    # reuse one scorer across samples when the table shape repeats
+    # (same-genome sample DBs land on the same bucket count): the
+    # compiled chunk programs - the expensive part on tunnel-attached
+    # devices - are then paid once per run, not once per sample
+    if dev_state is not None:
+        prev = dev_state.get("scorer")
+        if (
+            prev is not None
+            and prev.k == k
+            and prev.both_strands == kmc.both_strands
+            and prev.min_count == args.min_k_count
+            and prev.tbl.shape == table.tbl.shape
+        ):
+            prev.set_table(table)
+            return prev
+        scorer = WindowScorer(table, min_count=args.min_k_count)
+        dev_state["scorer"] = scorer
+        return scorer
     return WindowScorer(table, min_count=args.min_k_count)
 
 
 def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
                     use_hybrid, plan=None, dscorer=None, db_sorted=None,
-                    db_prefix=None, dkey=None):
+                    db_prefix=None, dkey=None, dev_state=None,
+                    pre_table=None):
     counts_r = None
     u8_pack = None
     if dkey is not None:
@@ -582,7 +621,10 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
         else:
             counts_r = merge_counts(ref_keys, db_keys, dbc)
     else:
-        scorer = _make_scorer(args, kmc, k, db_prefix)
+        scorer = _make_scorer(
+            args, kmc, k, db_prefix, dev_state=dev_state,
+            pre_table=pre_table,
+        )
 
     header = KCFHeader()
     header.reference = args.reference
@@ -691,6 +733,11 @@ def _score_fixed_windows(args, index, name, k, scorer, sample):
     C, c_step, Lp, B = _chunk_geometry(args.window, args.step, k)
     win_len = (ends - starts).astype(np.int32)
     chunk_of = starts // c_step
+    # tighten the row count to what this chromosome actually needs
+    # (rounded to a 128 granule for compile reuse): the geometry's
+    # worst-case B dispatches up to ~1.7x the real windows otherwise
+    max_per_chunk = int(np.bincount(chunk_of).max())
+    B = min(B, -(-max_per_chunk // 128) * 128)
     handles = []
     for c in range(0, (seq_len // c_step) + 1):
         sel = np.flatnonzero(chunk_of == c)
