@@ -280,14 +280,24 @@ def main():
             t0 = time.time()
             _cli(argv)
             cold = time.time() - t0
-            t0 = time.time()
-            _cli(argv)
-            warm = time.time() - t0
+            stage_json = os.path.join(tmp, "stages.json")
+            os.environ["KCFTOOLS_STAGE_JSON"] = stage_json
+            try:
+                t0 = time.time()
+                _cli(argv)
+                warm = time.time() - t0
+            finally:
+                os.environ.pop("KCFTOOLS_STAGE_JSON", None)
             result["e2e_cold_seconds"] = round(cold, 2)
             result["e2e_seconds"] = round(warm, 2)
             result["e2e_windows_per_sec"] = round(
                 N_SAMPLES * n_windows / warm, 1
             )
+            try:
+                with open(stage_json) as fh:
+                    result["e2e_stage_seconds"] = json.load(fh)
+            except OSError:
+                pass
 
         if "device" in rungs:
             # the on-chip hash-table engine (--engine device): per

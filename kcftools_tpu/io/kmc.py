@@ -24,6 +24,7 @@ docs/general/limitations.md).
 
 import os
 import struct
+import zipfile
 
 import numpy as np
 
@@ -411,6 +412,54 @@ def choose_lut_prefix_length(k: int) -> int:
         if (k - lut) % 4 == 0:
             return lut
     return k  # degenerate tiny k
+
+
+def sorted_cache_path(db_prefix: str, k: int) -> str:
+    return f"{db_prefix}.kcfsorted.k{k}.npz"
+
+
+def load_sorted_cache(db_prefix: str, k: int):
+    """Staleness-checked sorted-key sidecar for a KMC database (the
+    same caching pattern as .faidx / .kcfidx: the reference regenerates
+    its index sidecars on staleness, FastaIndex.java:31-36). Returns
+    (keys, counts) - keys uint64 for k <= 32, an (hi, lo) pair for
+    33..64 - or None when absent/stale. The cache spares every later
+    run the KMC-record decode + radix sort, the dominant per-sample
+    ingest cost."""
+    path = sorted_cache_path(db_prefix, k)
+    try:
+        m = os.path.getmtime(path)
+        if m < os.path.getmtime(db_prefix + ".kmc_pre") or m < (
+            os.path.getmtime(db_prefix + ".kmc_suf")
+        ):
+            return None
+        with np.load(path) as z:
+            if int(z["format_version"][0]) != 1:
+                return None
+            counts = z["counts"]
+            if "keys_hi" in z:
+                return (z["keys_hi"], z["keys_lo"]), counts
+            return z["keys"], counts
+    except (OSError, KeyError, ValueError, zipfile.BadZipFile):
+        return None
+
+
+def save_sorted_cache(db_prefix: str, k: int, keys, counts) -> None:
+    """Best-effort atomic write of the sorted-key sidecar."""
+    path = sorted_cache_path(db_prefix, k)
+    payload = {"format_version": np.array([1]),
+               "counts": np.asarray(counts, np.uint32)}
+    if isinstance(keys, tuple):
+        payload["keys_hi"] = keys[0]
+        payload["keys_lo"] = keys[1]
+    else:
+        payload["keys"] = keys
+    try:
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+    except OSError as e:
+        Logger.warning(_CLASS, f"Could not cache sorted DB at {path}: {e}")
 
 
 def write_kmc_db(

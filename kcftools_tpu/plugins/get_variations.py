@@ -31,7 +31,8 @@ from ..engine.windows import (
 from ..io.fasta import FastaIndex
 from ..io.gtf import GTF
 from ..io.kcf import KCFHeader, KCFWriter, WindowBlock
-from ..io.kmc import KMCReader
+from ..io.kmc import KMCReader, load_sorted_cache, save_sorted_cache
+from ..utils.stagetimer import dump as stage_dump, reset as stage_reset, stage
 from ..native import (
     get_lib,
     merge_counts,
@@ -193,6 +194,7 @@ def run(args):
     index across all samples - the per-sample work is one KMC ingest +
     one merge join + window statistics."""
     _validate(args)
+    stage_reset()
     args.engine = _resolve_engine(args)
     # size the native worker pool from -t, like the reference's
     # per-window thread pool (GetVariants.java:129)
@@ -226,7 +228,7 @@ def run(args):
         reference's thread pool over windows). For the on-chip hash
         engine the per-sample table is also built here, overlapping the
         previous sample's device executions."""
-        kmc = KMCReader(db_prefix, materialize=bool(args.memory))
+        kmc = KMCReader(db_prefix, materialize=False)
         k = kmc.kmer_length
         if args.feature == "window":
             uh = args.engine in ("auto", "hybrid", "dprefix")
@@ -238,8 +240,18 @@ def run(args):
             uh = args.engine in ("auto", "hybrid", "dprefix")
         db_sorted = None
         pre_table = None
-        if uh and args.memory:
-            db_sorted = _sort_db(kmc, k)
+        if uh:
+            with stage("ingest"):
+                # sorted-key sidecar first: repeated screenings skip
+                # the KMC decode + radix sort entirely (k <= 64)
+                if k <= 64:
+                    db_sorted = load_sorted_cache(db_prefix, k)
+                if db_sorted is None and (
+                    args.memory or _db_fits_ram(kmc, k)
+                ):
+                    kmc._read_records()
+                    db_sorted = _sort_db(kmc, k, db_prefix=db_prefix)
+                # else: left None -> bounded-RAM streamed merge
         elif not uh and k <= 32:
             import jax
 
@@ -344,6 +356,7 @@ def run(args):
         pool.shutdown(wait=False)
     if dscorer is not None:
         dscorer.close()
+    stage_dump()
 
 
 def _submit_sample(args, refidx, kmc, k, db_sorted, dscorer, key):
@@ -398,9 +411,30 @@ def _merge_streamed(kmc, ref_keys, k):
     return out, ei, ev
 
 
-def _sort_db(kmc, k):
+def _db_fits_ram(kmc, k) -> bool:
+    """Whether this database may be materialized + sidecar-cached in
+    sorted order instead of streamed: record bytes within the budget
+    (default 2 GiB; KCFTOOLS_SORT_CACHE_BUDGET overrides). Wheat-scale
+    databases stay on the bounded-RAM streamed path."""
+    if k > 64:
+        return False
+    budget = int(
+        os.environ.get("KCFTOOLS_SORT_CACHE_BUDGET", str(2 << 30))
+    )
+    try:
+        size = os.path.getsize(kmc.suffix_file) + os.path.getsize(
+            kmc.prefix_file
+        )
+    except OSError:
+        return False
+    return size <= budget
+
+
+def _sort_db(kmc, k, db_prefix=None):
     """Sample table in plain sorted key order for the merge join.
-    k <= 32: uint64; 33..64: (hi, lo) limb pair; > 64: S{nb} records."""
+    k <= 32: uint64; 33..64: (hi, lo) limb pair; > 64: S{nb} records.
+    With ``db_prefix``, the result is saved as a staleness-checked
+    sidecar so later runs skip the decode + sort."""
     if k > 64:
         order = np.argsort(kmc.kmers_bytes)
         return kmc.kmers_bytes[order], kmc.counts[order].astype(np.uint32)
@@ -410,8 +444,12 @@ def _sort_db(kmc, k):
         dbh, dbl, dbc = wide.sort_unique(
             kmc.kmers_hi, kmc.kmers_lo, kmc.counts
         )
-        return (dbh, dbl), dbc.astype(np.uint32)
-    return sort_pairs(kmc.kmers, kmc.counts)
+        res = (dbh, dbl), dbc.astype(np.uint32)
+    else:
+        res = sort_pairs(kmc.kmers, kmc.counts)
+    if db_prefix is not None:
+        save_sorted_cache(db_prefix, k, res[0], res[1])
+    return res
 
 
 def _build_window_plan(args, index, refidx, k):
@@ -579,6 +617,8 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
             if 32 < k <= 64
             else refidx.kmers
         )
+        _merge_timer = stage("merge")
+        _merge_timer.__enter__()
         if db_sorted is None:
             # low-memory mode: stream the database in bounded slabs
             # and fold each slab's merge into one u8 pack
@@ -620,6 +660,7 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
             )
         else:
             counts_r = merge_counts(ref_keys, db_keys, dbc)
+        _merge_timer.__exit__()
     else:
         scorer = _make_scorer(
             args, kmc, k, db_prefix, dev_state=dev_state,
@@ -640,6 +681,8 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
     Logger.info(_CLASS, "Generating windows...")
     blocks = []
     total_windows = 0
+    _scan_timer = stage("scan")
+    _scan_timer.__enter__()
     for name in index.get_sequence_names():
         header.add_contig(name, index.get_sequence_length(name))
         if args.feature == "window":
@@ -664,10 +707,11 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
             blocks.append(block.select(order))
             total_windows += len(block)
 
+    _scan_timer.__exit__()
     Logger.info(_CLASS, f"Number of windows: {total_windows}")
     header.window_count = total_windows
 
-    with KCFWriter(out_path) as writer:
+    with stage("write"), KCFWriter(out_path) as writer:
         writer.write_header(header)
         for block in blocks:
             block.finalize(weights)
