@@ -5,8 +5,11 @@ Replication notes:
 
 * The reference iterates chromosomes via java.util.HashMap keySet
   (FindIBS.java:124,168), so both the output window order and the block
-  numbering follow Java's hash-bucket order - emulated here via
-  utils.jhash (falls back to input order if the emulation would diverge).
+  numbering follow Java's hash-bucket order - emulated exactly by
+  utils.jhash, INCLUDING treeified bins (scaffold-heavy assemblies),
+  pinned by tests/fixtures/jhash_orders.json. The input-order fallback
+  remains only for the pathological non-String tiebreak, which
+  distinct chromosome names cannot reach.
 * With a stepped input KCF, --min is overridden to windowSize/stepSize
   (FindIBS.java:81-84).
 * A new block starts when numNA > min (strict) or the chromosome changed;
