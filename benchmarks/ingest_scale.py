@@ -35,13 +35,17 @@ import sys
 import tempfile
 import time
 
-# must precede jax import: virtual device mesh
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must precede first backend use: virtual device mesh (overriding any
+# sitecustomize-pinned platform via the config API, as conftest does)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

@@ -22,6 +22,6 @@ Layout:
 # first use - the host tier (io/, native/, stream plugins, the hybrid
 # engine) never pays the JAX startup cost.
 
-__version__ = "0.7.0"
+__version__ = "0.8.0"
 
 KCF_SOURCE = "kcftools"

@@ -132,6 +132,13 @@ def get_lib():
             u8p, u8p, ctypes.c_int64, _i64p,
             _i64p, i32p, ctypes.c_int64,
         ]
+        lib.kcf_route_shard.restype = ctypes.c_int64
+        lib.kcf_route_shard.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), u32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_int32, ctypes.c_int32,
+            u32p, u32p, u32p, i32p,
+        ]
         lib.kcf_window_stats_bits.restype = None
         lib.kcf_window_stats_bits.argtypes = [
             u8p, u8p, ctypes.c_int64, ctypes.c_int32, i32p, i32p,
@@ -805,6 +812,44 @@ def sort_pairs(keys, vals):
         _u32p(out_v),
     )
     return out_k, out_v
+
+
+def route_shard(kmers_u64, counts_u32, k, nb_total, nb_local, s_lo, s_hi,
+                want_ids=False):
+    """Shard-route one decoded KMC slab (see kcf_route_shard): ONE pass
+    computes each key's owning table shard (top bits of bucket hash 1)
+    and compacts keys routed to [s_lo, s_hi) into (hi, lo, cnt[,
+    shard]) staging arrays in file order. Numpy fallback reproduces
+    the same selection vectorized."""
+    kmers_u64 = np.ascontiguousarray(kmers_u64, np.uint64)
+    counts_u32 = np.ascontiguousarray(counts_u32, np.uint32)
+    n = kmers_u64.shape[0]
+    lib = get_lib()
+    if lib is None:
+        from ..engine.encode import split_hi_lo
+        from ..engine.hashtable import bucket_hashes_np
+
+        hi, lo = split_hi_lo(kmers_u64, k)
+        h1, _h2 = bucket_hashes_np(hi, lo, nb_total)
+        shard = (h1 // np.uint32(nb_local)).astype(np.int32)
+        sel = (shard >= s_lo) & (shard < s_hi)
+        out = (hi[sel], lo[sel], counts_u32[sel])
+        return out + ((shard[sel],) if want_ids else (None,))
+    out_hi = np.empty(n, np.uint32)
+    out_lo = np.empty(n, np.uint32)
+    out_cnt = np.empty(n, np.uint32)
+    out_sh = np.empty(n, np.int32) if want_ids else None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    w = lib.kcf_route_shard(
+        kmers_u64.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _u32p(counts_u32), n, ctypes.c_int32(k),
+        ctypes.c_uint32(nb_total - 1), ctypes.c_uint32(nb_local),
+        ctypes.c_int32(s_lo), ctypes.c_int32(s_hi),
+        _u32p(out_hi), _u32p(out_lo), _u32p(out_cnt),
+        out_sh.ctypes.data_as(i32p) if want_ids else None,
+    )
+    return (out_hi[:w], out_lo[:w], out_cnt[:w],
+            out_sh[:w] if want_ids else None)
 
 
 def gather_counts(table_u32, idx_i32):

@@ -3119,6 +3119,100 @@ void kcf_ordpack(const uint8_t* counts, int64_t n_ref,
 }
 
 // ---------------------------------------------------------------------------
+// Streaming-loader shard router: one pass over a decoded KMC slab
+// computes each key's owning table shard (top bits of its first bucket
+// hash - the shard-local placement of parallel/sharded.py) and
+// compacts the keys routed to shards [s_lo, s_hi) into (hi, lo, cnt)
+// staging arrays, preserving file order (two-pass per-thread
+// count/scatter). Replaces the per-shard numpy selection loop that
+// dominated streamed ingest. out_shard (optional) receives each kept
+// key's shard id for multi-shard staging passes. Returns the kept
+// count. Hash and hi/lo split are bit-identical with
+// engine/hashtable.py::bucket_hashes_np and engine/encode.split_hi_lo.
+static inline void route_key(uint64_t km, int shift, uint32_t lo_mask,
+                             uint32_t nb_mask, uint32_t nb_local,
+                             uint32_t* hi, uint32_t* lo, uint32_t* sh) {
+  uint32_t h = (uint32_t)(km >> shift);
+  uint32_t l = (uint32_t)km & lo_mask;
+  *hi = h;
+  *lo = l;
+  *sh = hash1(h, l, nb_mask) / nb_local;
+}
+
+int64_t kcf_route_shard(const uint64_t* kmers, const uint32_t* counts,
+                        int64_t n, int32_t k, uint32_t nb_mask,
+                        uint32_t nb_local, int32_t s_lo, int32_t s_hi,
+                        uint32_t* out_hi, uint32_t* out_lo,
+                        uint32_t* out_cnt, int32_t* out_shard) {
+  int n_lo = k > 16 ? k - 16 : 0;
+  int shift = 2 * n_lo;
+  uint32_t lo_mask =
+      n_lo ? (uint32_t)((1ull << (2 * n_lo)) - 1ull) : 0u;
+  int T = pick_threads(n, 1 << 19);
+  if (T <= 1) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      uint32_t h, l, sh;
+      route_key(kmers[i], shift, lo_mask, nb_mask, nb_local, &h, &l, &sh);
+      if ((int32_t)sh >= s_lo && (int32_t)sh < s_hi) {
+        out_hi[w] = h;
+        out_lo[w] = l;
+        out_cnt[w] = counts[i];
+        if (out_shard) out_shard[w] = (int32_t)sh;
+        ++w;
+      }
+    }
+    return w;
+  }
+  int64_t step = (n + T - 1) / T;
+  std::vector<int64_t> kept((size_t)T, 0);
+  {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < T; ++t) {
+      int64_t a = t * step, b = std::min(n, a + step);
+      if (a >= b) break;
+      ws.emplace_back([&, t, a, b]() {
+        int64_t c = 0;
+        for (int64_t i = a; i < b; ++i) {
+          uint32_t h, l, sh;
+          route_key(kmers[i], shift, lo_mask, nb_mask, nb_local, &h, &l,
+                    &sh);
+          c += ((int32_t)sh >= s_lo && (int32_t)sh < s_hi);
+        }
+        kept[t] = c;
+      });
+    }
+    for (auto& th : ws) th.join();
+  }
+  std::vector<int64_t> off((size_t)T + 1, 0);
+  for (int t = 0; t < T; ++t) off[t + 1] = off[t] + kept[t];
+  {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < T; ++t) {
+      int64_t a = t * step, b = std::min(n, a + step);
+      if (a >= b) break;
+      ws.emplace_back([&, t, a, b]() {
+        int64_t w = off[t];
+        for (int64_t i = a; i < b; ++i) {
+          uint32_t h, l, sh;
+          route_key(kmers[i], shift, lo_mask, nb_mask, nb_local, &h, &l,
+                    &sh);
+          if ((int32_t)sh >= s_lo && (int32_t)sh < s_hi) {
+            out_hi[w] = h;
+            out_lo[w] = l;
+            out_cnt[w] = counts[i];
+            if (out_shard) out_shard[w] = (int32_t)sh;
+            ++w;
+          }
+        }
+      });
+    }
+    for (auto& th : ws) th.join();
+  }
+  return off[T];
+}
+
+// ---------------------------------------------------------------------------
 // Window statistics from presence + validity bitmaps: the per-window
 // gap-run state machine (Plugins/GetVariants.java:219-251, distance
 // correction :267-273) replayed over bit words. Gap lengths count

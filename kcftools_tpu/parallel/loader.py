@@ -35,14 +35,13 @@ from .. import jaxinit  # noqa: F401
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..engine.encode import split_hi_lo
 from ..engine.hashtable import (
     BUCKET_SLOTS,
-    bucket_hashes_np,
     build_fixed,
     suggest_buckets,
 )
 from ..io.kmc import KMCReader
+from ..native import route_shard
 from ..utils.logger import Logger
 
 _CLASS = "ShardedTableLoader"
@@ -151,17 +150,26 @@ class ShardedTableLoader:
         shard_bufs = {}  # shard id -> list of per-device jax arrays
         for pi in range(n_passes):
             want = set(shard_ids[pi * per_pass : (pi + 1) * per_pass])
+            s_lo, s_hi = min(want), max(want) + 1
             staged = {s: [] for s in want}
             for kmers, counts in self.reader.iter_slabs(self.slab_records):
-                hi, lo = split_hi_lo(np.asarray(kmers, np.uint64), k)
-                h1, _ = bucket_hashes_np(hi, lo, nb_total)
-                shard = h1 // np.uint32(nb_local)
+                # native one-pass route-and-compact (hash + shard id +
+                # selection fused; the per-shard numpy selection loop
+                # this replaces dominated streamed ingest)
+                hi, lo, cnt, sh = route_shard(
+                    kmers, counts, k, nb_total, nb_local, s_lo, s_hi,
+                    want_ids=len(want) > 1,
+                )
+                if len(want) == 1:
+                    if hi.shape[0]:
+                        staged[s_lo].append((hi, lo, cnt))
+                    continue
+                # non-contiguous want sets: keys of unwanted mid-range
+                # shards pass the range filter but match no s below
                 for s in want:
-                    sel = shard == s
-                    if sel.any():
-                        staged[s].append(
-                            (hi[sel], lo[sel], counts[sel].astype(np.uint32))
-                        )
+                    sel = np.flatnonzero(sh == s)
+                    if sel.size:
+                        staged[s].append((hi[sel], lo[sel], cnt[sel]))
             for s in want:
                 if staged[s]:
                     shi = np.concatenate([p[0] for p in staged[s]])

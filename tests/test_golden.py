@@ -27,6 +27,9 @@ def _normalize(data: bytes) -> bytes:
             or ln.startswith(b"##CMD=")
             or ln.startswith(b"##reference=")  # embeds the tmp-dir path
             or ln.startswith(b"##source=")  # embeds __version__
+            # the reference's format line embeds the TOOL version too
+            # (Configs.KCF_VERSION = getVersion(); KCFHeader.java:293)
+            or ln.startswith(b"##format=")
         )
     ]
     return b"\n".join(out)

@@ -206,3 +206,31 @@ def test_ordpack_threaded_matches_single(rng):
         nat.set_threads(old)
     np.testing.assert_array_equal(p1, p8)
     np.testing.assert_array_equal(c1, c8)
+
+
+def test_route_shard_matches_numpy(rng):
+    """Native one-pass shard router == the numpy hash/selection model,
+    preserving file order, across shard windows and thread splits."""
+    from kcftools_tpu.engine.encode import split_hi_lo
+    from kcftools_tpu.engine.hashtable import bucket_hashes_np
+    from kcftools_tpu.native import route_shard
+
+    k = 31
+    for n in (1000, 1 << 20):
+        kmers = rng.integers(0, 1 << 62, n).astype(np.uint64)
+        counts = rng.integers(1, 100, n).astype(np.uint32)
+        nb_total, t_axis = 1 << 14, 8
+        nb_local = nb_total // t_axis
+        hi, lo = split_hi_lo(kmers, k)
+        h1, _h2 = bucket_hashes_np(hi, lo, nb_total)
+        shard = (h1 // np.uint32(nb_local)).astype(np.int32)
+        for s_lo, s_hi in ((0, 8), (3, 4), (2, 6)):
+            gh, gl, gc, gs = route_shard(
+                kmers, counts, k, nb_total, nb_local, s_lo, s_hi,
+                want_ids=True,
+            )
+            sel = (shard >= s_lo) & (shard < s_hi)
+            np.testing.assert_array_equal(gh, hi[sel])
+            np.testing.assert_array_equal(gl, lo[sel])
+            np.testing.assert_array_equal(gc, counts[sel])
+            np.testing.assert_array_equal(gs, shard[sel])
