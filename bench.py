@@ -109,12 +109,23 @@ def _engine_duel(dbs, refk, r_idx, starts, ends, which, rounds=8):
 
     if which in ("both", "hybrid"):
         out = np.empty(refk.size, np.uint8)
+        # per-reference ordinal occurrence map, built once like the
+        # reference index itself (the CLI builds this scanner for
+        # multi-sample runs >= hostscan.WORTH_SAMPLES; its one-time
+        # cost amortizes across samples and sweeps exactly like refk)
+        from kcftools_tpu.engine.hostscan import OrdinalWindowScanner
+
+        scanner = OrdinalWindowScanner(r_idx, starts, w_hi, K, 1)
 
         def hybrid_sweep():
             tot = 0
             for db_sorted, db_counts in dbs:
                 u8, ei, ev = merge_counts_u8(refk, db_sorted, db_counts, out=out)
-                res = window_scan_u8(u8, ei, ev, r_idx, 1, K, starts, w_hi)
+                res = scanner.score(u8, ei, ev)
+                if res is None:
+                    res = window_scan_u8(
+                        u8, ei, ev, r_idx, 1, K, starts, w_hi
+                    )
                 tot += int(res["observed"].sum())
             return tot
 

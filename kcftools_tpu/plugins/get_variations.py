@@ -20,6 +20,7 @@ from ..engine.prefix_scan import (
     static_window_stats,
     window_stats,
 )
+from ..engine.hostscan import WORTH_SAMPLES, OrdinalWindowScanner
 from ..engine.refindex import FeatureKmerIndex, RefKmerIndex
 from ..engine.windows import (
     batch_subsequences,
@@ -878,10 +879,30 @@ def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k,
         res["eff_length"] = pl["eff"]
     elif u8_pack is not None:
         u8, exc_idx, exc_val = u8_pack
-        res = window_scan_u8(
-            u8, exc_idx, exc_val, r_idx, args.min_k_count, k, starts,
-            ends - k,
-        )
+        res = None
+        scanner = pl.get("scanner") if pl is not None else None
+        if (
+            scanner is None
+            and pl is not None
+            and args.kmc.count(",") + 1 >= WORTH_SAMPLES
+            and get_lib() is not None
+        ):
+            # many samples against one reference: build the ordinal
+            # occurrence map once and score every sample with
+            # sequential streams instead of the per-position gather
+            w_hi = (ends - k).astype(np.int32)
+            if OrdinalWindowScanner.usable(starts, w_hi):
+                scanner = OrdinalWindowScanner(
+                    r_idx, starts, w_hi, k, args.min_k_count
+                )
+                pl["scanner"] = scanner
+        if scanner is not None:
+            res = scanner.score(u8, exc_idx, exc_val)
+        if res is None:
+            res = window_scan_u8(
+                u8, exc_idx, exc_val, r_idx, args.min_k_count, k, starts,
+                ends - k,
+            )
         res["total"] = pl["total"]
         res["eff_length"] = pl["eff"]
     else:

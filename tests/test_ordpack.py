@@ -234,3 +234,28 @@ def test_route_shard_matches_numpy(rng):
             np.testing.assert_array_equal(gl, lo[sel])
             np.testing.assert_array_equal(gc, counts[sel])
             np.testing.assert_array_equal(gs, shard[sel])
+
+
+def test_ordinal_window_scanner_matches_scan(rng):
+    """The host scanner (ordpack + bit walk + corr fold) must equal
+    window_scan_u8 on every field including count_sum."""
+    from kcftools_tpu.engine.hostscan import OrdinalWindowScanner
+
+    n_pos, n_ref = 40_000, 20_000
+    r_idx, u8, ei, ev = _mk(rng, n_pos, n_ref, invalid_frac=0.03)
+    stride = 470
+    ws = np.arange(0, n_pos - stride, stride, dtype=np.int32)
+    wh = (ws + stride - 1).astype(np.int32)
+    assert OrdinalWindowScanner.usable(ws, wh)
+    for mc in (1, 3):
+        sc = OrdinalWindowScanner(r_idx, ws, wh, 21, mc)
+        got = sc.score(u8, ei, ev)
+        if got is None:
+            pytest.skip("native library unavailable")
+        exp = window_scan_u8(u8, ei, ev, r_idx, mc, 21, ws, wh)
+        for f in ("observed", "variations", "inner", "left", "right",
+                  "count_sum"):
+            np.testing.assert_array_equal(got[f], exp[f], err_msg=f)
+    # overlapping windows are not usable (sliding mode)
+    wh2 = (ws + stride + 5).astype(np.int32)
+    assert not OrdinalWindowScanner.usable(ws, wh2)
