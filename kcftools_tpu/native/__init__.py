@@ -132,6 +132,10 @@ def get_lib():
             u8p, u8p, ctypes.c_int64, _i64p,
             _i64p, i32p, ctypes.c_int64,
         ]
+        lib.kcf_build_ordmap.restype = ctypes.c_int64
+        lib.kcf_build_ordmap.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+        ]
         lib.kcf_route_shard.restype = ctypes.c_int64
         lib.kcf_route_shard.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), u32p, ctypes.c_int64,
@@ -557,12 +561,26 @@ def build_ordmap(r_idx):
     seg_off int64 (n_seg+1), seg_ord int32 (n_seg)). Built once per
     slab (native radix sort) and reused by every sample."""
     r_idx = np.ascontiguousarray(r_idx, np.int32)
-    pos = np.flatnonzero(r_idx >= 0).astype(np.uint32)
-    keys = r_idx[pos.astype(np.int64)].astype(np.uint64)
-    sk, sv = sort_pairs(keys, pos)
-    occ_ord = sk.astype(np.int32)
-    occ_pos = sv.astype(np.int32)
-    n_occ = occ_ord.shape[0]
+    lib = get_lib()
+    if lib is not None:
+        n_pos = r_idx.shape[0]
+        n_ref = int(r_idx.max(initial=-1)) + 1
+        n_occ_est = int((r_idx >= 0).sum())
+        occ_ord = np.empty(n_occ_est, np.int32)
+        occ_pos = np.empty(n_occ_est, np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n_occ = int(lib.kcf_build_ordmap(
+            r_idx.ctypes.data_as(i32p), n_pos, max(n_ref, 1),
+            occ_ord.ctypes.data_as(i32p), occ_pos.ctypes.data_as(i32p),
+        ))
+        assert n_occ == n_occ_est
+    else:
+        pos = np.flatnonzero(r_idx >= 0).astype(np.uint32)
+        keys = r_idx[pos.astype(np.int64)].astype(np.uint64)
+        sk, sv = sort_pairs(keys, pos)
+        occ_ord = sk.astype(np.int32)
+        occ_pos = sv.astype(np.int32)
+        n_occ = occ_ord.shape[0]
     if n_occ == 0:
         return (occ_ord, occ_pos, np.zeros(1, np.int64),
                 np.empty(0, np.int32))

@@ -3139,6 +3139,31 @@ static inline void route_key(uint64_t km, int shift, uint32_t lo_mask,
   *sh = hash1(h, l, nb_mask) / nb_local;
 }
 
+// Occurrence-map build for the ordinal-space pack: counting sort of
+// the valid positions of r_idx by ordinal value (two sequential
+// passes + one scatter), replacing the generic radix-sort path.
+// occ_ord/occ_pos must hold count(r_idx >= 0) entries; n_ref >
+// max(r_idx). Returns the occurrence count.
+int64_t kcf_build_ordmap(const int32_t* r_idx, int64_t n_pos,
+                         int64_t n_ref, int32_t* occ_ord,
+                         int32_t* occ_pos) {
+  std::vector<int64_t> off((size_t)n_ref + 1, 0);
+  for (int64_t p = 0; p < n_pos; ++p) {
+    int32_t r = r_idx[p];
+    if (r >= 0) ++off[(size_t)r + 1];
+  }
+  for (int64_t r = 0; r < n_ref; ++r) off[r + 1] += off[r];
+  for (int64_t p = 0; p < n_pos; ++p) {
+    int32_t r = r_idx[p];
+    if (r >= 0) {
+      int64_t w = off[r]++;
+      occ_ord[w] = r;
+      occ_pos[w] = (int32_t)p;
+    }
+  }
+  return off[n_ref];  // untouched by the scatter: the total
+}
+
 int64_t kcf_route_shard(const uint64_t* kmers, const uint32_t* counts,
                         int64_t n, int32_t k, uint32_t nb_mask,
                         uint32_t nb_local, int32_t s_lo, int32_t s_hi,
