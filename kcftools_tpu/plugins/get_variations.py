@@ -889,13 +889,24 @@ def _score_fixed_windows_hybrid(args, index, refidx, counts_r, name, k,
         ):
             # many samples against one reference: build the ordinal
             # occurrence map once and score every sample with
-            # sequential streams instead of the per-position gather
+            # sequential streams instead of the per-position gather.
+            # Maps are retained across samples (that is the point), so
+            # cap their cumulative size - huge genomes keep the
+            # constant-memory gather scan for the remaining chromosomes
+            budget = int(os.environ.get(
+                "KCFTOOLS_SCANNER_BUDGET", str(2 << 30)
+            ))
+            spent = getattr(args, "_scanner_bytes", 0)
+            need = 9 * int(r_idx.shape[0])  # occ map + bitmaps
             w_hi = (ends - k).astype(np.int32)
-            if OrdinalWindowScanner.usable(starts, w_hi):
+            if spent + need <= budget and OrdinalWindowScanner.usable(
+                starts, w_hi
+            ):
                 scanner = OrdinalWindowScanner(
                     r_idx, starts, w_hi, k, args.min_k_count
                 )
                 pl["scanner"] = scanner
+                args._scanner_bytes = spent + need
         if scanner is not None:
             res = scanner.score(u8, exc_idx, exc_val)
         if res is None:
