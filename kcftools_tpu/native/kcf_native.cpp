@@ -94,7 +94,21 @@ int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
   std::memset(t_cnt, 0, sizeof(uint32_t) * static_cast<size_t>(nb) * slots);
   XorShift rng(0xC0FFEEULL);
 
+  // software pipelining: the insert loop is bound by ~3 random cache
+  // misses per key (two fill bytes + the chosen bucket's row); issuing
+  // the next keys' addresses ahead overlaps those misses
+  constexpr int64_t PF = 24;
   for (int64_t i = 0; i < n; ++i) {
+    if (i + PF < n) {
+      uint32_t ph = hash1(hi[i + PF], lo[i + PF], mask);
+      uint32_t ph2 = hash2(hi[i + PF], lo[i + PF], mask);
+      __builtin_prefetch(fill.data() + ph, 1, 1);
+      __builtin_prefetch(fill.data() + ph2, 1, 1);
+      __builtin_prefetch(t_cnt + (int64_t)ph * slots, 1, 1);
+      __builtin_prefetch(t_cnt + (int64_t)ph2 * slots, 1, 1);
+      // t_hi/t_lo rows intentionally not prefetched: 8 streams
+      // saturate the fill/LTB budget and measure slower than 4
+    }
     uint32_t khi = hi[i], klo = lo[i], kc = counts[i];
     uint32_t b1 = hash1(khi, klo, mask);
     uint32_t b2 = hash2(khi, klo, mask);
