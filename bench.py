@@ -6,15 +6,18 @@ chip on the per-sample engine work (merge join + window statistics),
 E. coli-scale (5 Mbp, k=31, 5 kb fixed windows, 8 samples) - the first
 ladder config. BOTH engines are measured and the champion reported:
 
-  - ``hybrid``  - pure-host path (AVX-512 merge join + fused native
-    window scan), the single-chip default.
+  - ``hybrid``  - pure-host path: AVX-512 merge join + the
+    ordinal-space scanner (one occurrence-map build per reference,
+    then per sample sequential-stream presence/corrections + the
+    bit-word gap walk - the engine the CLI uses for 12+-sample runs;
+    window_scan_u8 remains the fallback).
   - ``dprefix`` - device-resident scorer: the host performs the merge
-    join, packs positional presence + exact per-window count sums
-    (native kcf_pack_posbits), and re-encodes presence as a compact
-    absent-run stream (native kcf_bits_to_runs, ~25x fewer wire bytes
-    than a bitmap); up to 8 samples are scored per single device
-    execution - the device reconstructs presence from the runs and
-    replays the whole per-window gap-run state machine
+    join and the ordinal-space pack (native kcf_ordpack - no
+    positional gather), run-encodes presence (native kcf_bits_to_runs,
+    ~25x fewer wire bytes than a bitmap), and ships each group of up
+    to 8 samples as ONE stacked transfer + ONE device execution per
+    slab - the device reconstructs presence from the runs and replays
+    the whole per-window gap-run state machine
     (GetVariants.java:202-261 semantics) as batched int32 prefix
     scans.
 
@@ -29,6 +32,12 @@ points (the command, not the kernel):
     feature windows, the A. thaliana-shaped rung).
   - ``pipeline``- cohort (8 single-sample KCFs -> 1) + findIBS
     --summary, the downstream sweep.
+  - ``sharded`` - the mesh-sharded lookup path (ShardedWindowScorer)
+    on the real chip and on the 8-virtual-CPU mesh with the table
+    sharded 8 ways (subprocesses; benchmarks/mesh_bench.py).
+  - ``scaling`` - data-axis scaling efficiency at fixed total work on
+    the virtual mesh, plus the two-process jax.distributed
+    cross-process efficiency (benchmarks/dist_bench.py).
 
 BASELINE HONESTY: the reference publishes no numbers and no JVM exists
 in this image, so ``vs_baseline`` divides by an ESTIMATE of the Java
@@ -37,16 +46,17 @@ kmer/s => ~3200 windows/s at 5 kb windows). It is a modeled ratio, not
 a measured one; ``baseline_estimated: true`` marks it in the output.
 
 Environment note: this image reaches one TPU chip through a tunnel
-measured (round 3) at ~25 ms of serialized protocol cost per device
-EXECUTION and ~40 MB/s of wire bandwidth in both directions, on a
-2-core host. The engines share the per-sample merge join, and the
-positional gather the device uplink needs (kcf_pack_posbits) costs
-about as much as the host's full fused scan - so the host path wins
-the duel HERE whenever the host cores are idle, while the device path
-clears the >=10x-baseline target standalone. On locally attached
-devices the execution tax and wire limits drop ~1000x and the same
-code wins outright. Both numbers are always reported so the trade is
-visible.
+measured (rounds 3-4) at ~25 ms of serialized protocol cost per
+device CALL (transfer, execution, or fetch), ~400 MB/s for large
+host->device transfers but only ~25 MB/s for fetches, on a 2-core
+host whose load varies with concurrent driver work. The engines share
+the per-sample merge join; since round 4 the device path's remaining
+host work is the cheap ordinal-space pack and each group is one
+put + one execution, so the device engine wins the duel even on a
+contended host (r4: 39.3k vs 27.4k windows/s) and clears the
+>=10x-baseline target with margin. Per-call latency swings by the
+hour; best-of-rounds keeps a single stall from defining the record.
+Both engines are always reported so the trade stays visible.
 """
 
 import contextlib
