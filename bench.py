@@ -111,7 +111,14 @@ def _measure(sweep, rounds, work):
 
 
 def _engine_duel(dbs, refk, r_idx, starts, ends, which, rounds=8):
-    """Best-of windows/s for each engine over the given sample set."""
+    """Best-of windows/s for each engine over the given sample set.
+
+    The hybrid engine is measured exactly as the CLI would run it at
+    this sample count: the fused positional scan below
+    hostscan.WORTH_SAMPLES, the ordinal-space scanner (occurrence map
+    built once per reference, like the k-mer index itself) at or
+    above it - so rung 1 (8 samples) exercises window_scan_u8 and
+    rung20 exercises the scanner."""
     n_windows = len(starts)
     w_hi = (ends - K).astype(np.int32)
     work = len(dbs) * n_windows
@@ -119,19 +126,22 @@ def _engine_duel(dbs, refk, r_idx, starts, ends, which, rounds=8):
 
     if which in ("both", "hybrid"):
         out = np.empty(refk.size, np.uint8)
-        # per-reference ordinal occurrence map, built once like the
-        # reference index itself (the CLI builds this scanner for
-        # multi-sample runs >= hostscan.WORTH_SAMPLES; its one-time
-        # cost amortizes across samples and sweeps exactly like refk)
-        from kcftools_tpu.engine.hostscan import OrdinalWindowScanner
+        from kcftools_tpu.engine.hostscan import (
+            WORTH_SAMPLES,
+            OrdinalWindowScanner,
+        )
 
-        scanner = OrdinalWindowScanner(r_idx, starts, w_hi, K, 1)
+        scanner = (
+            OrdinalWindowScanner(r_idx, starts, w_hi, K, 1)
+            if len(dbs) >= WORTH_SAMPLES
+            else None
+        )
 
         def hybrid_sweep():
             tot = 0
             for db_sorted, db_counts in dbs:
                 u8, ei, ev = merge_counts_u8(refk, db_sorted, db_counts, out=out)
-                res = scanner.score(u8, ei, ev)
+                res = scanner.score(u8, ei, ev) if scanner else None
                 if res is None:
                     res = window_scan_u8(
                         u8, ei, ev, r_idx, 1, K, starts, w_hi

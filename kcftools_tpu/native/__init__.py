@@ -562,9 +562,18 @@ def build_ordmap(r_idx):
     slab (native radix sort) and reused by every sample."""
     r_idx = np.ascontiguousarray(r_idx, np.int32)
     lib = get_lib()
-    if lib is not None:
-        n_pos = r_idx.shape[0]
-        n_ref = int(r_idx.max(initial=-1)) + 1
+    n_pos = r_idx.shape[0]
+    n_ref = int(r_idx.max(initial=-1)) + 1
+    # the counting sort's offset table spans the GLOBAL ordinal range
+    # (8 bytes per ordinal); use it only while that scratch stays
+    # proportionate to the occurrence arrays and absolutely bounded -
+    # sparse/huge ordinal spaces take the radix path instead
+    counting_ok = (
+        lib is not None
+        and n_ref <= max(4 * n_pos, 1024)
+        and n_ref <= (1 << 27)
+    )
+    if counting_ok:
         n_occ_est = int((r_idx >= 0).sum())
         occ_ord = np.empty(n_occ_est, np.int32)
         occ_pos = np.empty(n_occ_est, np.int32)
@@ -707,15 +716,17 @@ def window_stats_bits(present_bits, valid_bits, n_pos, k, w_start, w_hi):
 
 def pack_runs_fused(counts_u8, exc_idx, exc_val, r_idx, min_count,
                     w_start, w_hi, cap):
-    """One fused host pass for the device engine's run uplink (see
-    kcf_pack_runs_fused): gathers each position's exact count from the
-    u8 merge output, emits the trimmed absent-run stream and exact
-    per-window int64 count sums together. Requires windows sorted and
-    non-overlapping in k-mer-start space. Returns
-    (d, l, n_runs, count_sum); n_runs = -1 on cap overflow, -2 when the
-    windows are not eligible (caller falls back to
-    pack_posbits + bits_to_runs, which handle any window layout).
-    The numpy fallback composes those two primitives directly."""
+    """One fused host pass producing the absent-run stream + exact
+    per-window int64 count sums via the POSITIONAL gather (see
+    kcf_pack_runs_fused). No longer on the device engine's production
+    path (kcf_ordpack replaced it); RETAINED as the independent
+    differential oracle for the ordinal-space pack - the test suite
+    cross-checks ordpack/bits_to_runs against this kernel's positional
+    formulation (tests/test_runs_uplink.py, tests/test_ordpack.py).
+    Requires windows sorted and non-overlapping in k-mer-start space.
+    Returns (d, l, n_runs, count_sum); n_runs = -1 on cap overflow,
+    -2 when the windows are not eligible. The numpy fallback composes
+    pack_posbits + bits_to_runs directly."""
     r_idx = np.ascontiguousarray(r_idx, np.int32)
     w_start = np.ascontiguousarray(w_start, np.int32)
     w_hi = np.ascontiguousarray(w_hi, np.int32)

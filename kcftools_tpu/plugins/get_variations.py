@@ -414,21 +414,19 @@ def _merge_streamed(kmc, ref_keys, k):
 
 def _db_fits_ram(kmc, k) -> bool:
     """Whether this database may be materialized + sidecar-cached in
-    sorted order instead of streamed: record bytes within the budget
-    (default 2 GiB; KCFTOOLS_SORT_CACHE_BUDGET overrides). Wheat-scale
-    databases stay on the bounded-RAM streamed path."""
+    sorted order instead of streamed. The gate is the estimated PEAK
+    working set of decode + radix sort (~24 bytes per record: decoded
+    keys+counts plus the sort's ping-pong copies - the on-disk files
+    are ~3-4x smaller than that), against a 2 GiB default budget
+    (KCFTOOLS_SORT_CACHE_BUDGET bytes overrides; the sorted sidecar
+    written afterwards is ~12 bytes per record). Wheat-scale databases
+    stay on the bounded-RAM streamed path."""
     if k > 64:
         return False
     budget = int(
         os.environ.get("KCFTOOLS_SORT_CACHE_BUDGET", str(2 << 30))
     )
-    try:
-        size = os.path.getsize(kmc.suffix_file) + os.path.getsize(
-            kmc.prefix_file
-        )
-    except OSError:
-        return False
-    return size <= budget
+    return kmc.total_kmers * 24 <= budget
 
 
 def _sort_db(kmc, k, db_prefix=None):

@@ -28,9 +28,13 @@ reproducing that order, which for String keys is FULLY deterministic:
 
 The RB-tree code below transcribes java.util.HashMap.TreeNode's
 treeify / balanceInsertion / rotateLeft / rotateRight / split /
-untreeify / moveRootToFront / putTreeVal logic. Fixtures derived
-independently of this module pin the resulting orders
-(tests/fixtures/jhash_orders.json).
+untreeify / moveRootToFront / putTreeVal logic. Committed fixtures
+(tests/fixtures/jhash_orders.json) pin the reviewed behavior so later
+regressions are visible; the NON-treeified orders are additionally
+cross-checked against an independent bucket model and hand-checkable
+arithmetic (see the fixtures README), while the treeified orders rest
+on this transcription - no JVM exists in this environment to diff
+against, a limitation the README documents.
 """
 
 _INT_MASK = 0xFFFFFFFF

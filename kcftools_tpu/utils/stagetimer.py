@@ -26,23 +26,26 @@ def reset():
 
 
 class stage:
-    """Context manager adding the elapsed wall time to ``name``."""
+    """Context manager adding the elapsed wall time to ``name``.
+    A no-op (no clock, no lock) unless KCFTOOLS_STAGE_JSON is set."""
 
-    __slots__ = ("name", "t0")
+    __slots__ = ("name", "t0", "on")
 
     def __init__(self, name: str):
         self.name = name
         self.t0 = 0.0
+        self.on = enabled()
 
     def __enter__(self):
-        if _acc is not None:
+        if self.on:
             self.t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        dt = time.perf_counter() - self.t0
-        with _lock:
-            _acc[self.name] = _acc.get(self.name, 0.0) + dt
+        if self.on:
+            dt = time.perf_counter() - self.t0
+            with _lock:
+                _acc[self.name] = _acc.get(self.name, 0.0) + dt
         return False
 
 
