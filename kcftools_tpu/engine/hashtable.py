@@ -110,12 +110,14 @@ class KmerTable:
 
 def build_fixed(hi, lo, counts, nb):
     """Two-choice build at a FIXED bucket count; the interleaved
-    (nb, 3*S) array or None on overflow (caller grows and retries)."""
-    from ..native import build_table_native
+    (nb, 3*S) array or None on overflow (caller grows and retries).
+    The native path emits the interleaved layout directly (no final
+    copy); the numpy fallback concatenates its three arrays."""
+    from ..native import build_table_native, get_lib
 
-    table = build_table_native(hi, lo, counts, nb, slots=BUCKET_SLOTS)
-    if table is None:
-        table = _try_build(hi, lo, counts, nb)
+    if get_lib() is not None:
+        return build_table_native(hi, lo, counts, nb, slots=BUCKET_SLOTS)
+    table = _try_build(hi, lo, counts, nb)
     if table is None:
         return None
     t_hi, t_lo, t_cnt = table

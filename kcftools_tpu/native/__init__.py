@@ -76,7 +76,7 @@ def get_lib():
         u32p = ctypes.POINTER(ctypes.c_uint32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.kcf_build_table.restype = ctypes.c_int
-        lib.kcf_build_table.argtypes = [u32p] * 3 + [ctypes.c_int64] + [u32p] * 3 + [
+        lib.kcf_build_table.argtypes = [u32p] * 3 + [ctypes.c_int64] + [u32p] + [
             ctypes.c_int64,
             ctypes.c_int32,
         ]
@@ -1365,22 +1365,22 @@ def f32_seq_sum(scores_f64, init=np.float32(0.0)):
 
 
 def build_table_native(hi, lo, counts, nb, slots=4):
-    """Returns (t_hi, t_lo, t_cnt) or None on overflow / no native lib."""
+    """Two-choice build straight into the interleaved (nb, 3*slots)
+    lookup layout (one ~48-byte row touched per insert; empty slots
+    stay zero from the allocation). Returns the table array or None on
+    overflow / no native lib."""
     lib = get_lib()
     if lib is None:
         return None
     n = hi.shape[0]
-    t_hi = np.zeros((nb, slots), np.uint32)
-    t_lo = np.zeros((nb, slots), np.uint32)
-    t_cnt = np.zeros((nb, slots), np.uint32)
+    tbl = np.zeros((nb, 3 * slots), np.uint32)
     hi = np.ascontiguousarray(hi, np.uint32)
     lo = np.ascontiguousarray(lo, np.uint32)
     counts = np.ascontiguousarray(counts, np.uint32)
     rc = lib.kcf_build_table(
         _u32p(hi), _u32p(lo), _u32p(counts), n,
-        _u32p(t_hi), _u32p(t_lo), _u32p(t_cnt), nb,
-        ctypes.c_int32(slots),
+        _u32p(tbl), nb, ctypes.c_int32(slots),
     )
     if rc != 0:
         return None
-    return t_hi, t_lo, t_cnt
+    return tbl

@@ -84,19 +84,24 @@ extern "C" {
 void kcf_set_threads(int32_t n) { g_threads = n; }
 
 // Returns 0 on success, -1 when an eviction walk exceeds its budget
-// (caller should grow the table and retry). slots must be a power of 2.
+// (caller should grow the table and retry). slots must be a power of
+// 2. ``tbl`` is the INTERLEAVED (nb, 3*slots) layout the lookups
+// consume directly - per bucket [hi x S | lo x S | cnt x S] - so one
+// insert touches one ~48-byte row instead of three separate arrays,
+// and no final interleave copy is needed. The caller supplies tbl
+// zeroed (cnt == 0 marks an empty slot; hi/lo of empty slots are
+// never read because every lookup masks on cnt != 0).
 int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
-                    const uint32_t* counts, int64_t n, uint32_t* t_hi,
-                    uint32_t* t_lo, uint32_t* t_cnt, int64_t nb,
-                    int32_t slots) {
+                    const uint32_t* counts, int64_t n, uint32_t* tbl,
+                    int64_t nb, int32_t slots) {
   const uint32_t mask = static_cast<uint32_t>(nb - 1);
+  const int64_t row = 3 * (int64_t)slots;
   std::vector<uint8_t> fill(static_cast<size_t>(nb), 0);
-  std::memset(t_cnt, 0, sizeof(uint32_t) * static_cast<size_t>(nb) * slots);
   XorShift rng(0xC0FFEEULL);
 
-  // software pipelining: the insert loop is bound by ~3 random cache
-  // misses per key (two fill bytes + the chosen bucket's row); issuing
-  // the next keys' addresses ahead overlaps those misses
+  // software pipelining: the insert loop is bound by random cache
+  // misses (two fill bytes + the chosen bucket's row); issuing the
+  // next keys' addresses ahead overlaps them
   constexpr int64_t PF = 24;
   for (int64_t i = 0; i < n; ++i) {
     if (i + PF < n) {
@@ -104,20 +109,19 @@ int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
       uint32_t ph2 = hash2(hi[i + PF], lo[i + PF], mask);
       __builtin_prefetch(fill.data() + ph, 1, 1);
       __builtin_prefetch(fill.data() + ph2, 1, 1);
-      __builtin_prefetch(t_cnt + (int64_t)ph * slots, 1, 1);
-      __builtin_prefetch(t_cnt + (int64_t)ph2 * slots, 1, 1);
-      // t_hi/t_lo rows intentionally not prefetched: 8 streams
-      // saturate the fill/LTB budget and measure slower than 4
+      __builtin_prefetch(tbl + (int64_t)ph * row, 1, 1);
+      __builtin_prefetch(tbl + (int64_t)ph2 * row, 1, 1);
     }
     uint32_t khi = hi[i], klo = lo[i], kc = counts[i];
     uint32_t b1 = hash1(khi, klo, mask);
     uint32_t b2 = hash2(khi, klo, mask);
     uint32_t b = (fill[b1] <= fill[b2]) ? b1 : b2;
     if (fill[b] < slots) {
-      int64_t at = static_cast<int64_t>(b) * slots + fill[b];
-      t_hi[at] = khi;
-      t_lo[at] = klo;
-      t_cnt[at] = kc;
+      uint32_t* r = tbl + (int64_t)b * row;
+      int s = fill[b];
+      r[s] = khi;
+      r[slots + s] = klo;
+      r[2 * slots + s] = kc;
       ++fill[b];
       continue;
     }
@@ -125,11 +129,11 @@ int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
     bool placed = false;
     for (int step = 0; step < 4000; ++step) {
       int slot = static_cast<int>(rng.next() & (uint32_t)(slots - 1));
-      int64_t at = static_cast<int64_t>(b) * slots + slot;
-      uint32_t vhi = t_hi[at], vlo = t_lo[at], vc = t_cnt[at];
-      t_hi[at] = khi;
-      t_lo[at] = klo;
-      t_cnt[at] = kc;
+      uint32_t* r = tbl + (int64_t)b * row;
+      uint32_t vhi = r[slot], vlo = r[slots + slot], vc = r[2 * slots + slot];
+      r[slot] = khi;
+      r[slots + slot] = klo;
+      r[2 * slots + slot] = kc;
       khi = vhi;
       klo = vlo;
       kc = vc;
@@ -137,10 +141,11 @@ int kcf_build_table(const uint32_t* hi, const uint32_t* lo,
       uint32_t v2 = hash2(khi, klo, mask);
       b = (v1 == b) ? v2 : v1;
       if (fill[b] < slots) {
-        int64_t at2 = static_cast<int64_t>(b) * slots + fill[b];
-        t_hi[at2] = khi;
-        t_lo[at2] = klo;
-        t_cnt[at2] = kc;
+        uint32_t* r2 = tbl + (int64_t)b * row;
+        int s = fill[b];
+        r2[s] = khi;
+        r2[slots + s] = klo;
+        r2[2 * slots + s] = kc;
         ++fill[b];
         placed = true;
         break;

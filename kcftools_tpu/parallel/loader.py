@@ -5,15 +5,18 @@ The wheat-scale story (BASELINE.md: 15 Gbp / ~10^10 k-mers, a table of
 streams the ``.kmc_suf`` records in bounded slabs, routes each key to
 the shard owning the top bits of its first bucket hash (the shard-local
 placement scheme of parallel/sharded.py), builds each shard's
-two-choice table independently, and places it directly on its owning
-device(s) - so host RAM is bounded by
+two-choice table independently - on a worker thread that OVERLAPS the
+next pass's streaming - and places it directly on its owning
+device(s). Host STAGING is bounded by
 
-    slab bytes + (shards staged per pass) * (keys-per-shard bytes)
+    slab bytes + 2 x (shards staged per pass) x (keys-per-shard bytes)
 
-regardless of the total table size. When the budget holds fewer shards
-than the mesh's table axis, the loader makes several passes over the
-file, staging a subset of shards per pass (keys outside the pass are
-discarded on the fly).
+(two passes' staging may be live at once because of the build overlap)
+regardless of the total table size; the built tables are DEVICE
+memory - HBM on a real pod, host RAM on the virtual CPU mesh either
+way. When the budget holds fewer shards than the mesh's table axis,
+the loader makes several passes over the file, staging a subset of
+shards per pass (keys outside the pass are discarded on the fly).
 
 Multi-host: every process runs the same loader but stages ONLY the
 shards owned by its addressable devices (``jax.process_index``); the
@@ -77,11 +80,18 @@ class ShardedTableLoader:
         t_axis = self.mesh.shape["table"]
         nb_local = nb_total // t_axis
         n = self.reader.total_kmers
-        # staged bytes per shard: keys routed to it (hi+lo+cnt u32 x3)
-        # plus its built table
-        per_shard = (n // t_axis + 1) * 12 + nb_local * BUCKET_SLOTS * 12
+        # HOST staging bytes per shard: the keys routed to it
+        # (hi+lo+cnt u32 x3). The built table is DEVICE memory (HBM on
+        # a real pod; on the virtual CPU mesh it is host RAM either
+        # way, with or without passes), so it no longer counts against
+        # the host staging budget. Builds overlap the next pass's
+        # streaming, so up to two passes' staging is live at once -
+        # hence the half-budget divisor.
+        per_shard = (n // t_axis + 1) * 12
         if self.ram_budget:
-            shards_per_pass = max(1, int(self.ram_budget // max(per_shard, 1)))
+            shards_per_pass = max(
+                1, int((self.ram_budget // 2) // max(per_shard, 1))
+            )
             if self.slab_records is None:
                 # the decode slab (raw record bytes + decoded key/count
                 # arrays) must fit the budget too
@@ -148,6 +158,33 @@ class ShardedTableLoader:
             "nb_local": nb_local,
         }
         shard_bufs = {}  # shard id -> list of per-device jax arrays
+        import threading
+
+        fail = []
+        build_thread = None
+
+        def _build(staged_now):
+            """Build + place this pass's shards (runs on a worker
+            thread, overlapping the NEXT pass's file streaming)."""
+            for s, parts in staged_now.items():
+                if fail:
+                    return
+                if parts:
+                    shi = np.concatenate([p[0] for p in parts])
+                    slo = np.concatenate([p[1] for p in parts])
+                    scn = np.concatenate([p[2] for p in parts])
+                else:
+                    shi = slo = scn = np.empty(0, np.uint32)
+                staged_now[s] = None  # free staging before the build
+                part = build_fixed(shi, slo, scn, nb_local)
+                del shi, slo, scn
+                if part is None:
+                    fail.append(s)  # overflow -> caller grows nb_total
+                    return
+                shard_bufs[s] = [
+                    jax.device_put(part, d) for d in mine[s]
+                ]
+
         for pi in range(n_passes):
             want = set(shard_ids[pi * per_pass : (pi + 1) * per_pass])
             s_lo, s_hi = min(want), max(want) + 1
@@ -170,20 +207,16 @@ class ShardedTableLoader:
                     sel = np.flatnonzero(sh == s)
                     if sel.size:
                         staged[s].append((hi[sel], lo[sel], cnt[sel]))
-            for s in want:
-                if staged[s]:
-                    shi = np.concatenate([p[0] for p in staged[s]])
-                    slo = np.concatenate([p[1] for p in staged[s]])
-                    scn = np.concatenate([p[2] for p in staged[s]])
-                else:
-                    shi = slo = scn = np.empty(0, np.uint32)
-                part = build_fixed(shi, slo, scn, nb_local)
-                staged[s] = None  # free staging before device_put
-                if part is None:
-                    return None  # overflow -> caller grows nb_total
-                shard_bufs[s] = [
-                    jax.device_put(part, d) for d in mine[s]
-                ]
+            if build_thread is not None:
+                build_thread.join()
+            if fail:
+                return None
+            build_thread = threading.Thread(target=_build, args=(staged,))
+            build_thread.start()
+        if build_thread is not None:
+            build_thread.join()
+        if fail:
+            return None
         # assemble the global array from per-device shards (multi-host
         # native: every process contributes only its local shards)
         arrays = []
