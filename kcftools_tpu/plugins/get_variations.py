@@ -276,6 +276,7 @@ def run(args):
     plan = None
     dscorer = None
     dev_state = {}  # on-chip hash engine: scorer reused across samples
+    prev_fin = None  # on-chip engine: previous sample's deferred finisher
     group = []  # device-engine samples submitted but not yet written
 
     def _flush_group():
@@ -346,11 +347,21 @@ def run(args):
             if len(group) >= dscorer.batch:
                 _flush_group()
             continue
-        _run_one_sample(
+        fin = _run_one_sample(
             args, index, gtf, refidx, kmc, k, sample, out_path, use_hybrid,
             plan, dscorer, db_sorted, db_prefix,
             dev_state=dev_state, pre_table=pre_table,
+            defer=len(kmc_list) > 1,
         )
+        # deferred device path: this sample's executions are in flight;
+        # collect + write the PREVIOUS sample now so device work and
+        # host assembly overlap across samples
+        if fin is not None:
+            if prev_fin is not None:
+                prev_fin()
+            prev_fin = fin
+    if prev_fin is not None:
+        prev_fin()
     if group:
         _flush_group()
     if pool is not None:
@@ -602,7 +613,7 @@ def _make_scorer(args, kmc, k, db_prefix=None, dev_state=None,
 def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
                     use_hybrid, plan=None, dscorer=None, db_sorted=None,
                     db_prefix=None, dkey=None, dev_state=None,
-                    pre_table=None):
+                    pre_table=None, defer=False):
     counts_r = None
     u8_pack = None
     if dkey is not None:
@@ -678,8 +689,8 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
     weights = (args.wi, args.wt, args.wr)
 
     Logger.info(_CLASS, "Generating windows...")
-    blocks = []
-    total_windows = 0
+    pending = []  # blocks, or finisher closures (deferred device path)
+    use_defer = defer and not use_hybrid and args.feature == "window"
     _scan_timer = stage("scan")
     _scan_timer.__enter__()
     for name in index.get_sequence_names():
@@ -692,7 +703,10 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
                     dkey=dkey,
                 )
             else:
-                block = _score_fixed_windows(args, index, name, k, scorer, sample)
+                block = _score_fixed_windows(
+                    args, index, name, k, scorer, sample,
+                    collect=not use_defer,
+                )
         elif use_hybrid:
             block = _score_feature_windows_hybrid(
                 args, refidx, counts_r, name, k, sample, u8_pack,
@@ -700,22 +714,35 @@ def _run_one_sample(args, index, gtf, refidx, kmc, k, sample, out_path,
             )
         else:
             block = _score_feature_windows(args, index, gtf, name, k, scorer, sample)
-        if block is not None and len(block) > 0:
-            # reference sorts each chromosome's windows by start
-            order = np.argsort(block.start, kind="stable")
-            blocks.append(block.select(order))
-            total_windows += len(block)
-
+        if block is not None:
+            pending.append(block)
     _scan_timer.__exit__()
-    Logger.info(_CLASS, f"Number of windows: {total_windows}")
-    header.window_count = total_windows
 
-    with stage("write"), KCFWriter(out_path) as writer:
-        writer.write_header(header)
-        for block in blocks:
-            block.finalize(weights)
-            writer.write_block(block)
-    Logger.info(_CLASS, f"Wrote {total_windows} windows to {out_path}")
+    def finish():
+        blocks = []
+        total_windows = 0
+        for item in pending:
+            block = item() if callable(item) else item
+            if block is not None and len(block) > 0:
+                # reference sorts each chromosome's windows by start
+                order = np.argsort(block.start, kind="stable")
+                blocks.append(block.select(order))
+                total_windows += len(block)
+        Logger.info(_CLASS, f"Number of windows: {total_windows}")
+        header.window_count = total_windows
+        with stage("write"), KCFWriter(out_path) as writer:
+            writer.write_header(header)
+            for block in blocks:
+                block.finalize(weights)
+                writer.write_block(block)
+        Logger.info(
+            _CLASS, f"Wrote {total_windows} windows to {out_path}"
+        )
+
+    if use_defer:
+        return finish  # caller collects after dispatching the next sample
+    finish()
+    return None
 
 
 def _make_block(sample, name, starts, ends, ids, res, k):
@@ -750,10 +777,14 @@ def _chunk_geometry(window: int, step: int, k: int):
     return C, c_step, Lp, B
 
 
-def _score_fixed_windows(args, index, name, k, scorer, sample):
+def _score_fixed_windows(args, index, name, k, scorer, sample,
+                         collect=True):
     """Chunked async scoring: each chromosome base is uploaded once as a
     sentinel-coded uint8; windows are gathered on device; each chunk is
-    one upload + one packed readback, dispatched asynchronously."""
+    one upload + one packed readback, dispatched asynchronously. With
+    ``collect=False``, returns a finisher closure instead of the block
+    so the caller can overlap this sample's device executions with the
+    previous sample's collection and write."""
     seq_len = index.get_sequence_length(name)
     if args.step > 0:
         starts, ends = sliding_windows(seq_len, args.window, args.step, k)
@@ -798,21 +829,27 @@ def _score_fixed_windows(args, index, name, k, scorer, sample):
         cwl[: sel.size] = win_len[sel]
         handles.append((scorer.score_chunk_async(chunk, cstarts, cwl, Lp), sel))
 
-    res_parts = {}
-    order = []
-    for handle, sel in handles:
-        out = scorer.collect(handle)
-        order.append(sel)
-        for key, v in out.items():
-            res_parts.setdefault(key, []).append(v[: sel.size])
-    sel_all = np.concatenate(order)
-    inv = np.empty_like(sel_all)
-    inv[sel_all] = np.arange(sel_all.size)
-    res = {
-        key: np.concatenate(parts)[inv] for key, parts in res_parts.items()
-    }
-    ids = [f"{name}_{s}" for s in starts]
-    return _make_block(sample, name, starts, ends, ids, res, k)
+    def finish():
+        res_parts = {}
+        order = []
+        for handle, sel in handles:
+            out = scorer.collect(handle)
+            order.append(sel)
+            for key, v in out.items():
+                res_parts.setdefault(key, []).append(v[: sel.size])
+        sel_all = np.concatenate(order)
+        inv = np.empty_like(sel_all)
+        inv[sel_all] = np.arange(sel_all.size)
+        res = {
+            key: np.concatenate(parts)[inv]
+            for key, parts in res_parts.items()
+        }
+        ids = [f"{name}_{s}" for s in starts]
+        return _make_block(sample, name, starts, ends, ids, res, k)
+
+    if not collect:
+        return finish  # dispatched; caller collects later (pipelining)
+    return finish()
 
 
 def _score_fixed_windows_batched(
