@@ -154,7 +154,9 @@ def _engine_duel(dbs, refk, r_idx, starts, ends, which, rounds=8):
     if which in ("both", "dprefix"):
         from kcftools_tpu.engine.device_prefix import DevicePrefixScorer
 
-        scorer = DevicePrefixScorer(None, K, min_count=1)
+        scorer = DevicePrefixScorer(
+            None, K, min_count=1, batch=min(len(dbs), 16)
+        )
         scorer.add_chrom("c", r_idx, starts, ends)
 
         def dprefix_sweep():

@@ -324,7 +324,18 @@ def run(args):
         if use_hybrid and args.engine == "dprefix" and dscorer is None:
             from ..engine.device_prefix import DevicePrefixScorer
 
-            dscorer = DevicePrefixScorer(refidx, k, min_count=args.min_k_count)
+            # group size = the run's sample count (capped): each group
+            # costs one transfer + one execution per slab regardless of
+            # rows, so a 20-sample run in one group pays the tunnel's
+            # per-call tax once instead of three times
+            batch = (
+                min(len(kmc_list), 16)
+                if not os.environ.get("KCFTOOLS_DEVICE_BATCH")
+                else None
+            )
+            dscorer = DevicePrefixScorer(
+                refidx, k, min_count=args.min_k_count, batch=batch
+            )
             if args.feature == "window":
                 for name, pl in plan.items():
                     if pl is not None:
