@@ -99,28 +99,47 @@ def main():
 
     tmp = args.workdir or tempfile.mkdtemp(prefix="kcf_lettuce_")
     os.makedirs(tmp, exist_ok=True)
-    rng = np.random.default_rng(0)
-    print(f"synthesizing chr3 ({CHR3_LEN:,} bp) ...", flush=True)
-    genome = rng.integers(0, 4, CHR3_LEN).astype(np.uint8)
     ref = os.path.join(tmp, "ref.fa")
-    _write_fasta(ref, genome)
-    dbs, names = [], []
-    for i in range(args.samples):
-        t0 = time.time()
-        p = os.path.join(tmp, f"s{i}")
-        nk = _build_db(p, genome, rng)
-        print(
-            f"sample s{i}: {nk:,} distinct {K}-mers "
-            f"({time.time() - t0:.0f}s)",
-            flush=True,
-        )
-        dbs.append(p)
-        names.append(f"s{i}")
-    del genome
+    need = [
+        i for i in range(args.samples)
+        if not os.path.exists(os.path.join(tmp, f"s{i}.kmc_suf"))
+    ]
+    if need or not os.path.exists(ref):
+        rng = np.random.default_rng(0)
+        print(f"synthesizing chr3 ({CHR3_LEN:,} bp) ...", flush=True)
+        genome = rng.integers(0, 4, CHR3_LEN).astype(np.uint8)
+        if not os.path.exists(ref):
+            _write_fasta(ref, genome)
+        # the rng stream feeding each sample's mutations must advance
+        # deterministically whether or not earlier DBs are reused
+        for i in range(args.samples):
+            t0 = time.time()
+            p = os.path.join(tmp, f"s{i}")
+            if i in need:
+                nk = _build_db(p, genome, rng)
+                print(
+                    f"sample s{i}: {nk:,} distinct {K}-mers "
+                    f"({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+            else:
+                rng.random(genome.shape[0])  # consume the flip draw
+                rng.integers(1, 4, 1)
+        del genome
+    else:
+        print(f"reusing {args.samples} sample DB(s) in {tmp}", flush=True)
+    dbs = [os.path.join(tmp, f"s{i}") for i in range(args.samples)]
+    names = [f"s{i}" for i in range(args.samples)]
 
     env = dict(os.environ)
     for eng in args.engines.split(","):
         out_dir = os.path.join(tmp, f"kcf_{eng}")
+        # single-sample runs treat -o as the output FILE path
+        first_kcf = (
+            out_dir
+            if args.samples == 1
+            else os.path.join(out_dir, f"{names[0]}.kcf")
+        )
         cmd = [
             sys.executable, "-m", "kcftools_tpu.cli", "getVariations",
             "-r", ref, "-k", ",".join(dbs), "-o", out_dir,
@@ -136,7 +155,7 @@ def main():
             subprocess.run(cmd, check=True, env=env,
                            stdout=subprocess.DEVNULL)
             dt = time.time() - t0
-            with open(os.path.join(out_dir, f"{names[0]}.kcf")) as fh:
+            with open(first_kcf) as fh:
                 n_win = sum(1 for l in fh if not l.startswith("#"))
             assert n_win == EXPECT_WINDOWS, n_win
             print(
