@@ -411,6 +411,7 @@ class DevicePrefixScorer:
         self._layout = _Layout(self.k, slab)
         self._statics = None  # per-slab device arrays
         self._score_fns = {}
+        self._cs_tot_fn = None  # device-side valid-prefix derivation
         self._pending = []  # queued sample slots awaiting dispatch
         self._jobs = {}  # sample key -> (group token, row in group)
         self._group_handles = {}  # group token -> per-slab result handles
@@ -463,9 +464,31 @@ class DevicePrefixScorer:
                 vb = np.zeros(nbb, np.uint8)
                 vb[: valid_bits.shape[0]] = valid_bits
                 valid_bits = vb
+            # cs_tot (pos_pad+1 int32, the static valid-prefix counts)
+            # is derived ON DEVICE from the packed valid bitmap - a
+            # 32x smaller upload, decisive for big genomes where the
+            # per-slab statics otherwise dominate setup wire time
+            # (325 Mbp = 5 slabs x 268 MB of cs_tot vs 8.4 MB of bits)
+            if self._cs_tot_fn is None:
+                import jax.numpy as jnp
+
+                def _cs_tot(vb):
+                    n = vb.shape[0] * 8
+                    shifts = jnp.arange(8, dtype=jnp.uint8)
+                    bits = (
+                        (vb[:, None] >> shifts) & jnp.uint8(1)
+                    ).reshape(n)
+                    return jnp.concatenate(
+                        [jnp.zeros((1,), jnp.int32),
+                         jnp.cumsum(bits.astype(jnp.int32))]
+                    )
+
+                self._cs_tot_fn = jax.jit(_cs_tot)
             st = {
                 "device": dev,
-                "cs_tot": jax.device_put(slab["cs_tot"], dev),
+                "cs_tot": self._cs_tot_fn(
+                    jax.device_put(valid_bits, dev)
+                ),
                 "w_start": jax.device_put(slab["w_start"], dev),
                 "w_hi": jax.device_put(slab["w_hi"], dev),
                 # static valid bitmap for the run encoder (host)
