@@ -493,3 +493,51 @@ def test_get_variations_gzipped_reference(workspace, tmp_path):
     assert side != gz_path and os.path.exists(side)
     idx = FastaIndex(gz_path)
     assert idx.get_sequence("chr1") == workspace["ref"]["chr1"]
+
+
+def test_sorted_cache_staleness(tmp_path, rng):
+    """A regenerated KMC database must invalidate its sorted-key
+    sidecar: results must reflect the NEW database, not the cache."""
+    import time
+
+    from kcftools_tpu.cli import main as cli_main
+
+    from .gen import mutate, random_seq, write_fasta
+
+    k = 21
+    genome = random_seq(rng, 3000)
+    ref = str(tmp_path / "ref.fa")
+    write_fasta(ref, [("chr1", genome)])
+    fa1 = str(tmp_path / "a.fa")
+    write_fasta(fa1, [("chr1", mutate(rng, genome, 0.01, 0.0))])
+    fa2 = str(tmp_path / "b.fa")
+    write_fasta(fa2, [("chr1", mutate(rng, genome, 0.08, 0.01))])
+    db = str(tmp_path / "db")
+
+    assert cli_main(["count", "-i", fa1, "-o", db, "-k", str(k)]) == 0
+    out1 = str(tmp_path / "o1.kcf")
+    assert cli_main(["getVariations", "-r", ref, "-k", db, "-o", out1,
+                     "-s", "s", "-f", "window", "-w", "500"]) == 0
+    cache = tmp_path / f"db.kcfsorted.k{k}.npz"
+    assert cache.exists()
+
+    time.sleep(1.05)  # ensure a newer mtime on the regenerated DB
+    assert cli_main(["count", "-i", fa2, "-o", db, "-k", str(k)]) == 0
+    out2 = str(tmp_path / "o2.kcf")
+    assert cli_main(["getVariations", "-r", ref, "-k", db, "-o", out2,
+                     "-s", "s", "-f", "window", "-w", "500"]) == 0
+
+    b1 = [l for l in open(out1) if not l.startswith("#")]
+    b2 = [l for l in open(out2) if not l.startswith("#")]
+    assert b1 != b2  # the denser sample must change the rows
+
+    # and a direct scoring of db2 without any cache agrees with out2
+    import os
+    for f in os.listdir(tmp_path):
+        if ".kcfsorted." in f:
+            os.unlink(tmp_path / f)
+    out3 = str(tmp_path / "o3.kcf")
+    assert cli_main(["getVariations", "-r", ref, "-k", db, "-o", out3,
+                     "-s", "s", "-f", "window", "-w", "500"]) == 0
+    b3 = [l for l in open(out3) if not l.startswith("#")]
+    assert b2 == b3
