@@ -1001,9 +1001,37 @@ def _score_feature_windows_hybrid(args, fidx, counts_r, name, k, sample,
         )
     elif u8_pack is not None:
         u8, exc_idx, exc_val = u8_pack
-        res = window_scan_u8(
-            u8, exc_idx, exc_val, r_idx, args.min_k_count, k, w_start, w_hi
-        )
+        res = None
+        scanner = pl.get("scanner")
+        if (
+            scanner is None
+            and args.kmc.count(",") + 1 >= WORTH_SAMPLES
+            and get_lib() is not None
+            and "scanner" not in pl
+        ):
+            # feature windows over the spliced concatenation are
+            # usually disjoint; reuse the multi-sample ordinal scanner
+            # where they are (overlapping features keep the scan)
+            budget = int(os.environ.get(
+                "KCFTOOLS_SCANNER_BUDGET", str(2 << 30)
+            ))
+            spent = getattr(args, "_scanner_bytes", 0)
+            need = 9 * int(r_idx.shape[0])
+            if spent + need <= budget and OrdinalWindowScanner.usable(
+                w_start, w_hi
+            ):
+                scanner = OrdinalWindowScanner(
+                    r_idx, w_start, w_hi, k, args.min_k_count
+                )
+                args._scanner_bytes = spent + need
+            pl["scanner"] = scanner  # None caches "not usable" too
+        if scanner is not None:
+            res = scanner.score(u8, exc_idx, exc_val)
+        if res is None:
+            res = window_scan_u8(
+                u8, exc_idx, exc_val, r_idx, args.min_k_count, k,
+                w_start, w_hi,
+            )
     else:
         # numpy fallback: prefix decomposition over the concatenation;
         # features shorter than k keep zeros

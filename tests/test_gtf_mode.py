@@ -338,3 +338,53 @@ def test_feature_dprefix_matches_hybrid(tmp_path, rng, k):
             assert rc == 0
             outs[eng] = strip(out)
         assert outs["hybrid"] == outs["dprefix"], feature
+
+
+def test_feature_scanner_multi_sample_matches_solo(tmp_path, rng):
+    """12-sample gene-mode runs route through the ordinal scanner
+    (WORTH_SAMPLES); outputs must be byte-identical (modulo run
+    metadata) to per-sample runs that use the fused scan."""
+    chrom = random_seq(rng, 4000)
+    fa = str(tmp_path / "ref.fa")
+    write_fasta(fa, [("chr1", chrom)])
+    gtf_path = str(tmp_path / "f.gtf")
+    _write_gtf(
+        gtf_path,
+        [
+            ("chr1", "gene", 101, 800, "+", 'gene_id "g1";'),
+            ("chr1", "mRNA", 101, 800, "+", 'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "exon", 101, 800, "+", 'gene_id "g1"; transcript_id "t1";'),
+            ("chr1", "gene", 1001, 2200, "+", 'gene_id "g2";'),
+            ("chr1", "mRNA", 1001, 2200, "+", 'gene_id "g2"; transcript_id "t2";'),
+            ("chr1", "exon", 1001, 1400, "+", 'gene_id "g2"; transcript_id "t2";'),
+            ("chr1", "exon", 1601, 2200, "+", 'gene_id "g2"; transcript_id "t2";'),
+            ("chr1", "gene", 2501, 3600, "+", 'gene_id "g3";'),
+            ("chr1", "mRNA", 2501, 3600, "+", 'gene_id "g3"; transcript_id "t3";'),
+            ("chr1", "exon", 2501, 3600, "+", 'gene_id "g3"; transcript_id "t3";'),
+        ],
+    )
+    names, dbs = [], []
+    for i in range(12):
+        s = mutate(rng, chrom, snp_rate=0.005 + 0.004 * i)
+        p = str(tmp_path / f"db{i}")
+        db_from_seqs(p, [s], K)
+        names.append(f"m{i}")
+        dbs.append(p)
+    out_dir = str(tmp_path / "multi")
+    rc = cli_main(
+        ["getVariations", "-r", fa, "-k", ",".join(dbs), "-o", out_dir,
+         "-s", ",".join(names), "-f", "gene", "-g", gtf_path]
+    )
+    assert rc == 0
+
+    def body(path):
+        return [l for l in open(path) if not l.startswith("##")]
+
+    for i in (0, 5, 11):
+        solo = str(tmp_path / f"solo{i}.kcf")
+        rc = cli_main(
+            ["getVariations", "-r", fa, "-k", dbs[i], "-o", solo,
+             "-s", names[i], "-f", "gene", "-g", gtf_path]
+        )
+        assert rc == 0
+        assert body(f"{out_dir}/{names[i]}.kcf") == body(solo), i
