@@ -429,13 +429,24 @@ def load_sorted_cache(db_prefix: str, k: int):
     path = sorted_cache_path(db_prefix, k)
     try:
         m = os.path.getmtime(path)
-        if m < os.path.getmtime(db_prefix + ".kmc_pre") or m < (
+        # '<=' (not '<'): a DB regenerated within the filesystem's
+        # timestamp granularity of the sidecar write must re-sort - the
+        # safe direction. The stored .kmc_pre/.kmc_suf sizes are a cheap
+        # content fingerprint for the same window.
+        if m <= os.path.getmtime(db_prefix + ".kmc_pre") or m <= (
             os.path.getmtime(db_prefix + ".kmc_suf")
         ):
             return None
         with np.load(path) as z:
             if int(z["format_version"][0]) != 1:
                 return None
+            if "src_sizes" in z:
+                sizes = (
+                    os.path.getsize(db_prefix + ".kmc_pre"),
+                    os.path.getsize(db_prefix + ".kmc_suf"),
+                )
+                if tuple(z["src_sizes"]) != sizes:
+                    return None
             counts = z["counts"]
             if "keys_hi" in z:
                 return (z["keys_hi"], z["keys_lo"]), counts
@@ -449,6 +460,12 @@ def save_sorted_cache(db_prefix: str, k: int, keys, counts) -> None:
     path = sorted_cache_path(db_prefix, k)
     payload = {"format_version": np.array([1]),
                "counts": np.asarray(counts, np.uint32)}
+    try:
+        payload["src_sizes"] = np.array(
+            [os.path.getsize(db_prefix + ".kmc_pre"),
+             os.path.getsize(db_prefix + ".kmc_suf")], np.int64)
+    except OSError:
+        pass
     if isinstance(keys, tuple):
         payload["keys_hi"] = keys[0]
         payload["keys_lo"] = keys[1]

@@ -18,18 +18,39 @@ those are found in the KMC database. The reference queries the forward
 canonical databases; that behavior is preserved for fidelity.
 
 The per-block-pair thread pool of the reference becomes vectorized
-numpy set intersections + batched device-free table lookups.
+numpy set intersections. Every supported k (<= 256, the full KMC
+envelope) goes through ONE representation: fixed-width big-endian byte
+records (engine/encode_mlimb layout), whose memcmp order makes
+np.unique / np.intersect1d / np.searchsorted exact for any width - the
+k <= 32 hash table the earlier revision used silently rejected wide
+databases.
 """
 
 import numpy as np
 
-from ..engine.encode import pack_kmers
-from ..engine.hashtable import build_table
+from ..engine.encode_mlimb import n_bytes, pack_kmer_bytes
 from ..io.fasta import FastaIndex
 from ..io.kmc import KMCReader
 from ..utils.logger import Logger
 
 _CLASS = "CompareIBS"
+
+
+def _db_key_bytes(kmc, k):
+    """The database's (forward-form) keys as sorted big-endian S{nb}
+    records, whatever width tier the reader decoded them into."""
+    nb = n_bytes(k)
+    if getattr(kmc, "kmers_bytes", None) is not None:  # k > 64
+        keys = kmc.kmers_bytes
+    elif kmc.kmers is not None:  # k <= 32: packed uint64
+        b = kmc.kmers.astype(">u8").view(np.uint8).reshape(-1, 8)
+        keys = np.ascontiguousarray(b[:, 8 - nb :]).view(f"S{nb}").ravel()
+    else:  # 32 < k <= 64: 128-bit value limbs
+        hi = kmc.kmers_hi.astype(">u8").view(np.uint8).reshape(-1, 8)
+        lo = kmc.kmers_lo.astype(">u8").view(np.uint8).reshape(-1, 8)
+        full = np.concatenate([hi, lo], axis=1)
+        keys = np.ascontiguousarray(full[:, 16 - nb :]).view(f"S{nb}").ravel()
+    return np.sort(keys)
 
 
 def add_parser(subparsers):
@@ -65,9 +86,11 @@ def _read_summary(path):
 
 
 def _block_kmers(index, chrom, start, length, k):
-    """(total_valid_kmer_count, unique_kmers) of a block sequence."""
+    """(total_valid_kmer_count, unique_kmers) of a block sequence, as
+    big-endian byte records (forward form, matching the reference's
+    non-canonical queries at CompareIBS.java:143-147)."""
     codes, valid = index.sequence_codes(chrom, start, length)
-    kmers, kv = pack_kmers(codes, valid, k)
+    kmers, kv = pack_kmer_bytes(codes, valid, k)
     kept = kmers[kv]
     return int(kept.size), np.unique(kept)
 
@@ -80,7 +103,7 @@ def run(args):
     index_two = FastaIndex(args.refTwo)
     kmc = KMCReader(args.kmc)
     k = kmc.kmer_length
-    table = build_table(kmc.kmers, kmc.counts, k, both_strands=kmc.both_strands)
+    db_keys = _db_key_bytes(kmc, k)
 
     with open(args.output, "w") as out:
         for sample, one_list in one.items():
@@ -103,7 +126,11 @@ def run(args):
                 for f2, (n2, s2) in zip(two_list, two_sets):
                     common = np.intersect1d(s1, s2, assume_unique=True)
                     # forward-form lookup, as the reference does
-                    in_db = int((table.lookup_np(common) > 0).sum())
+                    pos = np.searchsorted(db_keys, common)
+                    pos = np.minimum(pos, db_keys.shape[0] - 1)
+                    in_db = int(
+                        (db_keys[pos] == common).sum()
+                    ) if db_keys.size else 0
                     row = [
                         f1[2], f1[3], f1[4],
                         f2[2], f2[3], f2[4],

@@ -442,7 +442,14 @@ def _db_fits_ram(kmc, k) -> bool:
     are ~3-4x smaller than that), against a 2 GiB default budget
     (KCFTOOLS_SORT_CACHE_BUDGET bytes overrides; the sorted sidecar
     written afterwards is ~12 bytes per record). Wheat-scale databases
-    stay on the bounded-RAM streamed path."""
+    stay on the bounded-RAM streamed path.
+
+    NOTE: this means a run WITHOUT --memory may still use up to the
+    budget of host RAM and write a .kcfsorted sidecar next to the
+    input DB (sidecar write failure is a warning, never an error).
+    Set KCFTOOLS_SORT_CACHE_BUDGET=0 to force strict bounded-RAM
+    streaming and suppress sidecar creation for every non---memory
+    run (documented in docs/usage/cli.md)."""
     if k > 64:
         return False
     budget = int(

@@ -37,6 +37,10 @@ on this transcription - no JVM exists in this environment to diff
 against, a limitation the README documents.
 """
 
+import array
+import functools
+import sys
+
 _INT_MASK = 0xFFFFFFFF
 
 TREEIFY_THRESHOLD = 8
@@ -44,12 +48,23 @@ UNTREEIFY_THRESHOLD = 6
 MIN_TREEIFY_CAPACITY = 64
 
 
+@functools.lru_cache(maxsize=65536)
+def _u16(s: str):
+    """The string's UTF-16 code units (what Java's char[] holds):
+    non-BMP code points become their surrogate pairs, so hashing and
+    ordering match the JVM for every valid key, not just BMP ones."""
+    a = array.array("H")
+    a.frombytes(s.encode("utf-16-be" if sys.byteorder == "big"
+                         else "utf-16-le"))
+    return tuple(a)
+
+
 def java_string_hash(s: str) -> int:
-    # Java hashes UTF-16 code units; surrogate pairs would need
-    # splitting, but sequence names are BMP/ASCII in practice.
+    # Java hashes UTF-16 code units (String.hashCode); iterating code
+    # UNITS (surrogate halves for non-BMP) keeps this exact everywhere.
     h = 0
-    for ch in s:
-        h = (31 * h + ord(ch)) & _INT_MASK
+    for unit in _u16(s):
+        h = (31 * h + unit) & _INT_MASK
     return h
 
 
@@ -84,10 +99,14 @@ def _tie_break_order(a, b):
 
 
 def _compare(k, pk):
-    """dir for equal-hash keys: String.compareTo (true UTF-16 order)."""
-    if k < pk:
+    """dir for equal-hash keys: String.compareTo compares UTF-16 code
+    units, then lengths - tuple comparison over the unit sequences
+    reproduces that sign exactly (incl. surrogate-pair keys, where
+    Python code-point order would diverge)."""
+    a, b = _u16(k), _u16(pk)
+    if a < b:
         return -1
-    if k > pk:
+    if a > b:
         return 1
     return 0
 
