@@ -62,6 +62,15 @@ class RefKmerIndex:
         """index: io.fasta.FastaIndex."""
         if 32 < k <= 64:
             return cls._build_wide(index, k, canonical)
+        if k <= 32:
+            total = sum(
+                index.get_sequence_length(n)
+                for n in index.get_sequence_names()
+            )
+            if total >= int(
+                os.environ.get("KCFTOOLS_REFIDX_LEAN_MIN", str(10 ** 9))
+            ):
+                return cls._build_lean(index, k, canonical)
         names = index.get_sequence_names()
         per_chrom_kmers = {}
         per_chrom_valid = {}
@@ -134,6 +143,64 @@ class RefKmerIndex:
             _CLASS,
             f"Built reference k-mer index: {R.size} unique {k}-mers over "
             f"{len(names)} sequences",
+        )
+        return cls(R, names, chrom_r_idx, k, canonical)
+
+    @classmethod
+    def _build_lean(cls, index, k, canonical=True):
+        """Multi-Gbp build (k <= 32): one preallocated key buffer, one
+        global radix sort with its scratch released afterwards, and
+        per-chromosome k-mers RECOMPUTED in the r_idx pass instead of
+        held - peak host memory ~24 bytes/base instead of the ~40+ the
+        dictionary-of-chromosomes build costs (decisive at 3 Gbp+,
+        where the eager build can exceed host RAM)."""
+        from ..native import (
+            release_sort_scratch,
+            sort_pairs,
+            sort_unique_u64,
+            sorted_lookup,
+        )
+
+        names = index.get_sequence_names()
+
+        def chrom_kmers(name):
+            codes, valid = index.sequence_codes(name)
+            kmers, kvalid = pack_kmers(codes, valid, k)
+            if canonical and kmers.size:
+                kmers = canonicalize(kmers, k)
+            return kmers, kvalid
+
+        total_pos = sum(
+            max(0, index.get_sequence_length(n) - k + 1) for n in names
+        )
+        buf = np.empty(total_pos, np.uint64)
+        fill = 0
+        for name in names:
+            kmers, kvalid = chrom_kmers(name)
+            kk = kmers[kvalid]
+            buf[fill : fill + kk.size] = kk
+            fill += kk.size
+            del kmers, kvalid, kk
+        R = sort_unique_u64(buf[:fill])
+        del buf
+        release_sort_scratch()
+
+        chrom_r_idx = {}
+        for name in names:
+            kmers, kvalid = chrom_kmers(name)
+            r_idx = np.full(kmers.shape[0], -1, np.int32)
+            if kmers.size and kvalid.any():
+                vpos = np.flatnonzero(kvalid).astype(np.uint32)
+                ks, pos = sort_pairs(kmers[kvalid], vpos)
+                del kmers, kvalid
+                r_idx[pos.astype(np.int64)] = sorted_lookup(R, ks)
+                del ks, pos
+            chrom_r_idx[name] = r_idx
+        release_sort_scratch()
+        Logger.info(
+            _CLASS,
+            f"Built reference k-mer index (lean): {R.size} unique "
+            f"{k}-mers over {len(names)} sequences",
         )
         return cls(R, names, chrom_r_idx, k, canonical)
 

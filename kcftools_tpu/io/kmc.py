@@ -75,9 +75,22 @@ def _build_norm(sig_len: int) -> np.ndarray:
 
 def kmer_signatures(kmers: np.ndarray, k: int, sig_len: int, norm=None) -> np.ndarray:
     """Minimum norm over all m-mers of each packed k-mer
-    (reference Data/Kmer.java:105-118)."""
+    (reference Data/Kmer.java:105-118). Large inputs take the native
+    signature kernel (bit-identical; the numpy sliding-window loop
+    allocates k-m+1 full-width temporaries, which matters at the
+    multi-Gbp DB-writing scale)."""
     if norm is None:
         norm = _build_norm(sig_len)
+    if kmers.shape[0] >= (1 << 20) and k <= 32:
+        try:
+            from ..native import get_lib, wide
+
+            if get_lib() is not None:
+                return wide.signatures(
+                    np.zeros_like(kmers), kmers, k, sig_len, norm
+                )
+        except Exception:
+            pass
     mask = np.uint64((1 << (2 * sig_len)) - 1)
     best = None
     for t in range(k - sig_len + 1):
@@ -510,7 +523,7 @@ def write_kmc_db(
             counter_size, both_strands, min_count, max_count, mode,
         )
     kmers = np.asarray(kmers, dtype=np.uint64)
-    counts = np.asarray(counts, dtype=np.uint64)
+    counts = np.asarray(counts)
     if lut_len is None:
         lut_len = choose_lut_prefix_length(k)
     suffix_len = k - lut_len
@@ -526,40 +539,144 @@ def write_kmc_db(
     uniq_sigs = np.unique(sigs)
     nbins = max(1, len(uniq_sigs))
     sig_map = np.zeros((1 << (2 * sig_len)) + 1, dtype=np.uint32)
-    bin_of_sig = {int(s): i for i, s in enumerate(uniq_sigs)}
     sig_map[uniq_sigs.astype(np.int64)] = np.arange(len(uniq_sigs), dtype=np.uint32)
 
-    bins = (
-        np.array([bin_of_sig[int(s)] for s in sigs], dtype=np.uint64)
-        if n
-        else np.empty(0, np.uint64)
-    )
-    order = np.lexsort((kmers, bins))
-    kmers_s = kmers[order]
-    counts_s = counts[order]
-    bins_s = bins[order]
+    bins = sig_map[sigs.astype(np.int64)] if n else np.empty(0, np.uint32)
+    del sigs
+    kmers_s, counts_s, bins_s = _bin_sort(kmers, counts, bins, n)
+    del kmers, counts, bins
 
     lut_size = 1 << (2 * lut_len)
-    prefix_of = kmers_s >> np.uint64(2 * suffix_len)
-    keys = bins_s * np.uint64(lut_size) + prefix_of
+    # bin-major record keys fit uint32 (nbins <= 4^sig, lut_size small);
+    # chunked fill keeps the multi-Gbp writer's temporaries bounded
+    keys = np.empty(n, np.uint32)
+    _CH = 1 << 26
+    for i in range(0, n, _CH):
+        j = min(n, i + _CH)
+        keys[i:j] = bins_s[i:j] * np.uint32(lut_size) + (
+            kmers_s[i:j] >> np.uint64(2 * suffix_len)
+        ).astype(np.uint32)
     prefix_array = np.searchsorted(
-        keys, np.arange(nbins * lut_size, dtype=np.uint64)
+        keys, np.arange(nbins * lut_size, dtype=np.uint32)
     ).astype("<u8")
+    del keys, bins_s
 
-    # records
-    suf_bytes = suffix_len // 4
-    suffix_vals = kmers_s & np.uint64((1 << (2 * suffix_len)) - 1)
-    rec = np.zeros((n, suf_bytes + counter_size), dtype=np.uint8)
-    for j in range(suf_bytes):
-        shift = np.uint64(8 * (suf_bytes - 1 - j))
-        rec[:, j] = (suffix_vals >> shift) & np.uint64(0xFF)
-    for j in range(counter_size):
-        rec[:, suf_bytes + j] = (counts_s >> np.uint64(8 * j)) & np.uint64(0xFF)
-
-    _emit_kmc_files(
-        db_prefix, prefix_array, sig_map, rec, n, k, mode, counter_size,
-        lut_len, sig_len, min_count, max_count, both_strands,
+    _emit_kmc_files_streamed(
+        db_prefix, prefix_array, sig_map, kmers_s, counts_s, suffix_len,
+        n, k, mode, counter_size, lut_len, sig_len, min_count, max_count,
+        both_strands,
     )
+
+
+_BIG_SORT_MIN = 1 << 26  # records below this keep the np.lexsort path
+
+
+def _bin_sort(kmers, counts, bins, n):
+    """(kmers, counts, bins) sorted bin-major, kmer-minor.
+
+    Large ALREADY-SORTED key sets (the np.unique / sort_unique_u64
+    output every caller produces) skip np.lexsort: a stable native LSD
+    radix pass over the composite (bin << 32 | index) key yields the
+    bin-major order directly - the difference between minutes and hours
+    when writing multi-Gbp databases (3G-key wheat-scale samples)."""
+    from ..native import get_lib, sort_pairs
+
+    big = n >= _BIG_SORT_MIN and n < (1 << 32) and get_lib() is not None
+    if big:
+        ch = 1 << 25
+        is_sorted = all(
+            bool((kmers[max(i - 1, 0) : min(n, i + ch)][1:]
+                  >= kmers[max(i - 1, 0) : min(n, i + ch)][:-1]).all())
+            for i in range(0, n, ch)
+        )
+        if is_sorted:
+            # chunked stable counting sort by bin: within a bin the
+            # already-sorted kmer order is preserved, temporaries stay
+            # chunk-sized, and no 3G-element radix scratch is ever
+            # allocated (wheat-scale writes would otherwise spike the
+            # host by an extra ~36 GB)
+            nbins_tot = int(bins.max()) + 1 if n else 1
+            offsets = np.zeros(nbins_tot, np.int64)
+            for i in range(0, n, ch):
+                j = min(n, i + ch)
+                offsets += np.bincount(bins[i:j], minlength=nbins_tot)
+            offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+            kmers_s = np.empty(n, np.uint64)
+            counts_s = np.empty(n, counts.dtype)
+            bins_s = np.empty(n, np.uint32)
+            for i in range(0, n, ch):
+                j = min(n, i + ch)
+                cb = bins[i:j]
+                # stable grouping within the chunk via one small radix
+                comp = (cb.astype(np.uint64) << np.uint64(25)) | (
+                    np.arange(j - i, dtype=np.uint64)
+                )
+                comp_s, _ = sort_pairs(
+                    comp, np.empty(j - i, np.uint32)
+                )
+                loc = (comp_s & np.uint64((1 << 25) - 1)).astype(np.int64)
+                gbins = (comp_s >> np.uint64(25)).astype(np.uint32)
+                starts = np.flatnonzero(
+                    np.concatenate(([True], gbins[1:] != gbins[:-1]))
+                )
+                grp = np.zeros(j - i, np.int64)
+                grp[starts[1:]] = 1
+                grp = np.cumsum(grp)
+                rank = np.arange(j - i) - starts[grp]
+                pos = offsets[gbins] + rank
+                kmers_s[pos] = kmers[i:j][loc]
+                counts_s[pos] = counts[i:j][loc]
+                bins_s[pos] = gbins
+                offsets += np.bincount(cb, minlength=nbins_tot)
+            return kmers_s, counts_s, bins_s
+    order = np.lexsort((kmers, bins))
+    return kmers[order], np.asarray(counts, np.uint64)[order], bins[order]
+
+
+def _emit_kmc_files_streamed(db_prefix, prefix_array, sig_map, kmers_s,
+                             counts_s, suffix_len, n, k, mode,
+                             counter_size, lut_len, sig_len, min_count,
+                             max_count, both_strands):
+    """Emit .kmc_pre / .kmc_suf with the suffix records packed and
+    written in bounded chunks (a flat record matrix for 3G keys would
+    be another ~27 GB resident)."""
+    header = struct.pack(
+        "<7iq", k, mode, counter_size, lut_len, sig_len, min_count,
+        max_count, n,
+    )
+    header += bytes([0 if both_strands else 1, 0, 0, 0])
+    header += b"\x00" * 24
+    header += struct.pack("<i", 0x200)
+    assert len(header) == _HEADER_BYTES
+
+    with open(db_prefix + ".kmc_pre", "wb") as fh:
+        fh.write(b"KMCP")
+        fh.write(prefix_array.tobytes())
+        fh.write(struct.pack("<q", n))  # guard
+        fh.write(sig_map.astype("<u4").tobytes())
+        fh.write(header)
+        fh.write(struct.pack("<i", _HEADER_BYTES))
+        fh.write(b"KMCP")
+
+    suf_bytes = suffix_len // 4
+    suf_mask = np.uint64((1 << (2 * suffix_len)) - 1)
+    _CH = 1 << 26
+    with open(db_prefix + ".kmc_suf", "wb") as fh:
+        fh.write(b"KMCS")
+        for i in range(0, n, _CH):
+            j = min(n, i + _CH)
+            suffix_vals = kmers_s[i:j] & suf_mask
+            cnt = counts_s[i:j]
+            rec = np.zeros((j - i, suf_bytes + counter_size), np.uint8)
+            for b in range(suf_bytes):
+                shift = np.uint64(8 * (suf_bytes - 1 - b))
+                rec[:, b] = (suffix_vals >> shift) & np.uint64(0xFF)
+            for b in range(counter_size):
+                rec[:, suf_bytes + b] = (
+                    cnt >> cnt.dtype.type(8 * b)
+                ).astype(np.uint8)
+            fh.write(rec.tobytes())
+        fh.write(b"KMCS")
 
 
 def _emit_kmc_files(db_prefix, prefix_array, sig_map, rec, n, k, mode,

@@ -73,6 +73,8 @@ def get_lib():
         lib = ctypes.CDLL(_LIB)
         lib.kcf_set_threads.restype = None
         lib.kcf_set_threads.argtypes = [ctypes.c_int32]
+        lib.kcf_release_sort_scratch.restype = None
+        lib.kcf_release_sort_scratch.argtypes = []
         u32p = ctypes.POINTER(ctypes.c_uint32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.kcf_build_table.restype = ctypes.c_int
@@ -820,6 +822,15 @@ def sorted_lookup(hay, needles_sorted):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+def release_sort_scratch():
+    """Free the calling thread's persistent radix-sort scratch (n x 12
+    bytes, kept across calls for reuse). Call after one-off multi-Gbp
+    sorts - a 3G-key sort otherwise parks ~36 GB until thread exit."""
+    lib = get_lib()
+    if lib is not None:
+        lib.kcf_release_sort_scratch()
 
 
 def sort_pairs(keys, vals):

@@ -1298,6 +1298,11 @@ struct RadixScratch {
   std::vector<uint32_t> v;
 };
 
+// File-scope so kcf_release_sort_scratch can free it: after a
+// multi-Gbp sort the ping-pong buffers hold n x 12 bytes (36 GB for a
+// 3G-key wheat-scale sample) until the thread exits otherwise.
+thread_local RadixScratch g_radix_scratch;
+
 void radix_hist_range(const uint64_t* keys, int64_t lo, int64_t hi,
                       int shift, uint32_t* hist /* 65536 */) {
   std::memset(hist, 0, 65536 * sizeof(uint32_t));
@@ -1349,10 +1354,20 @@ void sort_span_pairs(uint64_t* k, uint32_t* v, int64_t lo, int64_t hi) {
 
 }  // namespace
 
+// Free the calling thread's radix ping-pong buffers (n x 12 bytes,
+// retained across calls for reuse). Call after one-off giant sorts so
+// the scratch does not shadow the working set for the rest of the run.
+void kcf_release_sort_scratch(void) {
+  g_radix_scratch.k.clear();
+  g_radix_scratch.k.shrink_to_fit();
+  g_radix_scratch.v.clear();
+  g_radix_scratch.v.shrink_to_fit();
+}
+
 void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
                             int64_t n, uint64_t* out_k, uint32_t* out_v) {
   if (n <= 0) return;
-  static thread_local RadixScratch scratch;
+  RadixScratch& scratch = g_radix_scratch;
   if ((int64_t)scratch.k.size() < n) {
     scratch.k.resize(n);
     scratch.v.resize(n);

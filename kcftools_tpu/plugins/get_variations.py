@@ -407,7 +407,15 @@ def _merge_streamed(kmc, ref_keys, k):
     out = np.zeros(n_ref, np.uint8)
     tmp = np.empty(n_ref, np.uint8)
     exc_i, exc_v = [], []
-    for keys, counts in kmc.iter_slabs():
+    # Each slab's merge scans ALL ref keys, so slab count is the cost
+    # multiplier: size slabs to ~1/8 of the database (bounded to keep
+    # the per-slab sort scratch modest). A 3G-key DB then streams in 8
+    # passes instead of ~180 with the fixed 2^26 default.
+    slab_records = int(os.environ.get(
+        "KCFTOOLS_STREAM_SLAB",
+        str(min(1 << 29, max(1 << 26, -(-kmc.total_kmers // 8)))),
+    ))
+    for keys, counts in kmc.iter_slabs(slab_records):
         if k > 64:
             order = np.argsort(keys)
             ks, cs = keys[order], counts[order].astype(np.uint32)

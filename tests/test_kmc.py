@@ -74,3 +74,23 @@ def test_slab_streamed_decode(tmp_path, rng, monkeypatch):
     slabbed = KMCReader(prefix)
     np.testing.assert_array_equal(slabbed.kmers, whole.kmers)
     np.testing.assert_array_equal(slabbed.counts, whole.counts)
+
+
+def test_writer_big_sort_path_matches_lexsort(tmp_path, monkeypatch):
+    """The native composite-radix bin sort used for multi-Gbp writes
+    must emit byte-identical files to the np.lexsort path."""
+    from kcftools_tpu.io import kmc as kmcmod
+
+    rng = np.random.default_rng(11)
+    k = 31
+    keys = np.unique(rng.integers(0, 1 << (2 * k), 60000, dtype=np.uint64))
+    counts = rng.integers(1, 300, keys.shape[0], dtype=np.uint32)
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    kmcmod.write_kmc_db(str(a), keys, counts, k, counter_size=2)
+    monkeypatch.setattr(kmcmod, "_BIG_SORT_MIN", 1)
+    kmcmod.write_kmc_db(str(b), keys, counts, k, counter_size=2)
+    for suf in (".kmc_pre", ".kmc_suf"):
+        assert (a.parent / (a.name + suf)).read_bytes() == (
+            b.parent / (b.name + suf)
+        ).read_bytes(), suf

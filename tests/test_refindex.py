@@ -57,3 +57,28 @@ def test_gather_counts(rng):
     got = gather_counts(table, idx)
     exp = np.where(idx >= 0, table[np.maximum(idx, 0)], 0)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_lean_build_matches_eager(tmp_path, monkeypatch):
+    """The multi-Gbp lean build must produce the identical index."""
+    import numpy as np
+
+    from kcftools_tpu.engine.refindex import RefKmerIndex
+    from kcftools_tpu.io.fasta import FastaIndex
+
+    rng = np.random.default_rng(5)
+    fa = tmp_path / "r.fa"
+    with open(fa, "w") as fh:
+        for name in ("cA", "cB", "cC"):
+            s = "".join("ACGT"[b] for b in rng.integers(0, 4, 5000))
+            # inject an N run to exercise invalid positions
+            s = s[:1000] + "N" * 40 + s[1040:]
+            fh.write(f">{name}\n{s}\n")
+    index = FastaIndex(str(fa))
+    eager = RefKmerIndex.build(index, 31)
+    monkeypatch.setenv("KCFTOOLS_REFIDX_LEAN_MIN", "1")
+    lean = RefKmerIndex.build(index, 31)
+    assert np.array_equal(eager.kmers, lean.kmers)
+    assert eager.chrom_names == lean.chrom_names
+    for n in eager.chrom_names:
+        assert np.array_equal(eager.chrom_r_idx[n], lean.chrom_r_idx[n]), n
