@@ -174,6 +174,65 @@ def _engine_duel(dbs, refk, r_idx, starts, ends, which, rounds=8):
     return rates
 
 
+def _lookup_rung(n_keys=1 << 22, n_q=1 << 22, rounds=10):
+    import jax
+    import jax.numpy as jnp
+
+    from kcftools_tpu.ops.pjoin import (
+        build_pjoin_table,
+        pjoin_lookup_fn,
+        route_queries,
+    )
+
+    rng = np.random.default_rng(42)
+    keys = np.unique(
+        rng.integers(0, 1 << (2 * K), n_keys + n_keys // 4, dtype=np.uint64)
+    )[:n_keys]
+    counts = rng.integers(1, 255, keys.shape[0]).astype(np.uint32)
+    tbl = build_pjoin_table(keys, counts, K)
+    q = np.concatenate(
+        [rng.choice(keys, n_q // 2),
+         rng.integers(0, 1 << (2 * K), n_q // 2, dtype=np.uint64)]
+    )
+    qh, ql, src = route_queries(q, K, tbl.P)
+    fn = pjoin_lookup_fn(tbl.P, qh.shape[1], tbl.tile)
+    dqh, dql = jax.device_put(qh), jax.device_put(ql)
+    dth = jax.device_put(tbl.th)
+    dtl = jax.device_put(tbl.tl)
+    dtc = jax.device_put(tbl.tc)
+
+    # exactness first: searchsorted oracle, full query set
+    out = np.asarray(fn(dqh, dql, dth, dtl, dtc))
+    res = np.zeros(q.shape[0], np.uint32)
+    live = src >= 0
+    res[src[live]] = out[live]
+    idx = np.minimum(np.searchsorted(keys, q), keys.shape[0] - 1)
+    exp = np.where(keys[idx] == q, counts[idx], 0).astype(np.uint32)
+    if not np.array_equal(res, exp):
+        raise AssertionError("pjoin lookup mismatch vs sorted oracle")
+
+    @jax.jit
+    def chained(qh, ql, th, tl, tc):
+        acc = jnp.uint64(0)
+        for _ in range(rounds):
+            acc = acc + fn(qh, ql, th, tl, tc).astype(jnp.uint64).sum()
+        return acc
+
+    int(np.asarray(chained(dqh, dql, dth, dtl, dtc)))  # compile
+    best = None
+    for _ in range(4):
+        t0 = time.time()
+        int(np.asarray(chained(dqh, dql, dth, dtl, dtc)))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    rate = rounds * q.shape[0] / best
+    return {
+        "lookup_per_sec_device": round(rate),
+        "lookup_table_keys": int(keys.shape[0]),
+        "lookup_kernel": "pallas_pjoin",
+    }
+
+
 def _write_ref_fasta(path, genome):
     bases = np.frombuffer(b"ACGT", np.uint8)[genome]
     seq = bases.tobytes().decode()
@@ -246,7 +305,7 @@ def main():
     rungs = set(
         os.environ.get(
             "BENCH_RUNGS",
-            "duel,rung20,e2e,device,gtf,pipeline,sharded,scaling",
+            "duel,rung20,e2e,device,lookup,gtf,pipeline,sharded,scaling",
         ).split(",")
     )
 
@@ -357,6 +416,21 @@ def main():
             result["device_e2e_windows_per_sec"] = round(
                 2 * n_windows / dt, 1
             )
+
+        if "lookup" in rungs and which in ("both", "dprefix"):
+            # isolated ON-DEVICE lookup rate of the Pallas partitioned
+            # join (ops/pjoin.py) - the TPU-native replacement for the
+            # reference's per-query signature scan + prefix LUT +
+            # suffix binary search (Data/KMC.java:292-326). Keys and
+            # queries are device-resident; R chained executions end in
+            # a scalar fetch that depends on every one, so the tunnel
+            # cannot acknowledge early. Transfers excluded by design:
+            # this rung isolates the kernel the same way
+            # kmer_lookups_per_sec isolates the host merge join.
+            try:
+                result.update(_lookup_rung())
+            except Exception as e:
+                sys.stderr.write(f"lookup rung failed: {e}\n")
 
         if "gtf" in rungs:
             gtf_path = os.path.join(tmp, "genes.gtf")

@@ -1,0 +1,265 @@
+"""Partitioned all-pairs k-mer join: the Pallas TPU lookup engine.
+
+Replaces per-query random table access for device-resident k-mer count
+lookups (the hot op of GetVariants.getVariations - reference
+Data/KMC.java:292-326 resolves each query with a signature scan +
+prefix-LUT + suffix binary search; the earlier device path here used
+two 48-byte XLA row gathers per query). TPUs have no hardware gather:
+XLA lowers those row gathers to a serial loop that measures ~10-19M
+lookups/s on a v5e - roughly two orders of magnitude under what the
+chip's VPU can do on streaming compares.
+
+The TPU-shaped formulation removes the random access entirely:
+
+* HOST (build, once per table): every key goes to partition
+  ``h1(key) & (P-1)`` (the same 32-bit mix as engine/hashtable.py's
+  first bucket hash, so placement stays a pure function of the key).
+  Partitions are padded to a fixed tile of ``T_t`` slots -> three
+  (P, T_t) uint32 arrays [hi | lo | count]; empty slots carry count 0,
+  which no real KMC entry can (counts are >= 1).
+* HOST (route, per query batch): queries are grouped by the same
+  partition function into (P, T_q) tiles plus an int32 source-index
+  map (-1 padding) - a native-radix counting sort at memory speed.
+* DEVICE (the Pallas kernel): grid = (P,); each step loads one query
+  tile + its table tile into VMEM and computes
+
+      counts[q] = sum_t (q_hi==t_hi & q_lo==t_lo) * t_cnt
+
+  as pure VPU broadcast-compares and a lane reduction - fixed shapes,
+  zero gathers, zero data-dependent control flow. Block loads are
+  double-buffered across grid steps by the Pallas pipeline, so the
+  kernel is compute-bound at ~T_t integer ops per query instead of
+  latency-bound on HBM row fetches.
+
+Exactness: a query matches a table slot only on the FULL (hi, lo) key,
+every key is stored exactly once, and both sides use the same
+partition function - so the result equals the hash-table/merge-join
+count for every query, and scoring built on it stays byte-identical
+(tests/test_pjoin.py checks against the two-choice table and a dict
+oracle). k <= 32 (the device-engine envelope; wider k stays on the
+host merge tier).
+"""
+
+from .. import jaxinit  # noqa: F401  (x64 + compile cache, before jax use)
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.encode import split_hi_lo
+from ..engine.hashtable import bucket_hashes_np
+from ..utils.logger import Logger
+
+_CLASS = "PJoin"
+
+DEFAULT_TILE = 512
+_LANE = 128
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _next_pow2(x):
+    n = 1
+    while n < x:
+        n <<= 1
+    return n
+
+
+def partition_of(hi, lo, P):
+    """Partition id of each (hi, lo) key: the first bucket hash of the
+    two-choice table masked to P (power of two) - one shared placement
+    function for build and routing."""
+    h1, _ = bucket_hashes_np(hi, lo, P)
+    return h1
+
+
+class PJoinTable:
+    """Device-layout partitioned table: (P, T_t) uint32 hi / lo / cnt."""
+
+    def __init__(self, th, tl, tc, k, n_keys, both_strands=True):
+        self.th = th
+        self.tl = tl
+        self.tc = tc
+        self.k = k
+        self.n_keys = n_keys
+        self.P = th.shape[0]
+        self.tile = th.shape[1]
+        self.both_strands = both_strands
+
+    @property
+    def nbytes(self):
+        return self.th.nbytes + self.tl.nbytes + self.tc.nbytes
+
+
+def build_pjoin_table(keys_u64, counts, k, tile=DEFAULT_TILE,
+                      fill=0.65, both_strands=True):
+    """Host-side build: partition + pad. Grows the tile if any
+    partition overflows (rare at the default fill)."""
+    keys_u64 = np.asarray(keys_u64, np.uint64)
+    counts = np.ascontiguousarray(counts, np.uint32)
+    n = keys_u64.shape[0]
+    hi, lo = split_hi_lo(keys_u64, k)
+    P = max(1, _next_pow2(int(np.ceil(n / (tile * fill)))))
+    while True:
+        part = partition_of(hi, lo, P)
+        per = np.bincount(part, minlength=P)
+        mx = int(per.max()) if n else 0
+        if mx <= tile:
+            break
+        tile = _round_up(mx, _LANE)
+    th = np.zeros((P, tile), np.uint32)
+    tl = np.zeros((P, tile), np.uint32)
+    tc = np.zeros((P, tile), np.uint32)
+    if n:
+        order = np.argsort(part, kind="stable")
+        ps = part[order]
+        rank = np.arange(n) - np.concatenate(
+            ([0], np.cumsum(per))
+        )[ps]
+        th[ps, rank] = hi[order]
+        tl[ps, rank] = lo[order]
+        tc[ps, rank] = counts[order]
+    tbl = PJoinTable(th, tl, tc, k, n, both_strands)
+    Logger.info(
+        _CLASS,
+        f"Built pjoin table: {n} keys, {P} partitions x {tile} "
+        f"({n / max(1, P * tile):.2f} fill, {tbl.nbytes / 1e6:.1f} MB)",
+    )
+    return tbl
+
+
+def route_queries(kmers_u64, k, P, tile=None):
+    """Group a query batch by partition: (q_hi, q_lo) (P, T_q) uint32
+    tiles + src (P, T_q) int32 source indices (-1 = padding). The
+    native radix pair sort does the grouping at memory speed."""
+    from ..native import sort_pairs
+
+    kmers_u64 = np.asarray(kmers_u64, np.uint64)
+    n = kmers_u64.shape[0]
+    hi, lo = split_hi_lo(kmers_u64, k)
+    part = partition_of(hi, lo, P)
+    per = np.bincount(part, minlength=P)
+    mx = int(per.max()) if n else 0
+    if tile is None:
+        tile = max(_LANE, _next_pow2(mx))
+    elif mx > tile:
+        raise ValueError(f"query tile {tile} < max partition {mx}")
+    comp = (part.astype(np.uint64) << np.uint64(32)) | np.arange(
+        n, dtype=np.uint64
+    )
+    comp_s, _ = sort_pairs(comp, np.empty(n, np.uint32))
+    order = (comp_s & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    ps = (comp_s >> np.uint64(32)).astype(np.int64)
+    rank = np.arange(n) - np.concatenate(([0], np.cumsum(per)))[ps]
+    qh = np.zeros((P, tile), np.uint32)
+    ql = np.zeros((P, tile), np.uint32)
+    src = np.full((P, tile), -1, np.int32)
+    qh[ps, rank] = hi[order]
+    ql[ps, rank] = lo[order]
+    src[ps, rank] = order.astype(np.int32)
+    return qh, ql, src
+
+
+_P_BLK = 8  # partitions per grid step (TPU sublane granularity)
+
+
+def _kernel(qh_ref, ql_ref, th_ref, tl_ref, tc_ref, out_ref):
+    # one grid step joins _P_BLK partitions: (B, Tq) queries against
+    # (B, Tt) table rows, partition-aligned on the leading axis
+    qh = qh_ref[...]
+    ql = ql_ref[...]
+    th = th_ref[...]
+    tl = tl_ref[...]
+    tc = tc_ref[...]
+    m = (qh[:, :, None] == th[:, None, :]) & (
+        ql[:, :, None] == tl[:, None, :]
+    )
+    # int32 reduction (Mosaic has no unsigned reduce): counts are
+    # < 2^31 and a query matches at most one slot (keys are unique),
+    # so the signed sum is exact; the wrapper views it back as uint32
+    out_ref[...] = jnp.sum(
+        jnp.where(m, tc[:, None, :].astype(jnp.int32), jnp.int32(0)),
+        axis=2,
+        dtype=jnp.int32,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _pjoin_fn(P, Tq, Tt, backend):
+    import jax
+
+    if backend == "pallas":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = _P_BLK if P % _P_BLK == 0 else 1
+        if B == 1 and P % 8:
+            # tiny tables: single block over the whole array
+            B = P
+        # np.int32, not a Python literal: the package runs jax in x64
+        # mode, where a literal 0 in an index map traces as i64 and
+        # Mosaic fails to legalize the index function's return
+        z = np.int32(0)
+
+        def _bs(T):
+            return pl.BlockSpec((B, T), lambda p: (p, z),
+                                memory_space=pltpu.VMEM)
+
+        def run(qh, ql, th, tl, tc):
+            out = pl.pallas_call(
+                _kernel,
+                grid=(P // B,),
+                in_specs=[_bs(Tq), _bs(Tq), _bs(Tt), _bs(Tt), _bs(Tt)],
+                out_specs=_bs(Tq),
+                out_shape=jax.ShapeDtypeStruct((P, Tq), jnp.int32),
+            )(qh, ql, th, tl, tc)
+            # counts < 2^31: the signed result IS the uint32 pattern
+            return jax.lax.bitcast_convert_type(out, jnp.uint32)
+
+        return jax.jit(run)
+
+    def run_xla(qh, ql, th, tl, tc):
+        m = (qh[:, :, None] == th[:, None, :]) & (
+            ql[:, :, None] == tl[:, None, :]
+        )
+        return jnp.sum(
+            jnp.where(m, tc[:, None, :], jnp.uint32(0)),
+            axis=2,
+            dtype=jnp.uint32,
+        )
+
+    return jax.jit(run_xla)
+
+
+def pjoin_lookup_fn(P, Tq, Tt):
+    """The jitted (P,Tq)x(P,Tt) -> (P,Tq) partition-join counts
+    function: the Pallas kernel on TPU backends, an equivalent XLA
+    program elsewhere (CPU tests / virtual meshes)."""
+    import jax
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _pjoin_fn(P, Tq, Tt, backend)
+
+
+def pjoin_lookup_np(table, kmers_u64):
+    """Host-side end-to-end lookup through the device kernel: route,
+    execute, unpartition. Returns uint32 counts aligned to the input
+    order (absent keys -> 0)."""
+    import jax
+
+    kmers_u64 = np.asarray(kmers_u64, np.uint64)
+    qh, ql, src = route_queries(kmers_u64, table.k, table.P)
+    fn = pjoin_lookup_fn(table.P, qh.shape[1], table.tile)
+    out = np.asarray(
+        fn(
+            jax.numpy.asarray(qh), jax.numpy.asarray(ql),
+            jax.numpy.asarray(table.th), jax.numpy.asarray(table.tl),
+            jax.numpy.asarray(table.tc),
+        )
+    )
+    res = np.zeros(kmers_u64.shape[0], np.uint32)
+    live = src >= 0
+    res[src[live]] = out[live]
+    return res
