@@ -392,29 +392,36 @@ def main():
                 pass
 
         if "device" in rungs:
-            # the on-chip hash-table engine (--engine device): per
-            # sample the table itself is built and placed on device and
-            # every window's k-mers are probed there. 2 samples keeps
-            # the rung cheap; the per-sample rate is what matters.
+            # the device-join engine (--engine device): each sample's
+            # sorted table ships to the chip as quantile tiles and the
+            # merge join runs there (Pallas partitioned join), with the
+            # positional gap scan on device and only per-window stats
+            # fetched. Same sample count as the e2e rung so the two
+            # wall-clocks compare engine against engine. Warm = second
+            # run (cached reference index + compiled programs), the
+            # steady state for repeated screenings.
             out_dir = os.path.join(tmp, "kcf_dev")
-            t0 = time.time()
+            argv = [
+                "getVariations", "-r", ref_fa,
+                "-k", ",".join(db_prefixes),
+                "-o", out_dir,
+                "-s", ",".join(f"s{i}" for i in range(N_SAMPLES)),
+                "-f", "window", "-w", str(WINDOW), "-t", "2",
+            ]
             os.environ["KCFTOOLS_ENGINE"] = "device"
             try:
-                _cli(
-                    [
-                        "getVariations", "-r", ref_fa,
-                        "-k", ",".join(db_prefixes[:2]),
-                        "-o", out_dir,
-                        "-s", "s0,s1",
-                        "-f", "window", "-w", str(WINDOW), "-t", "2",
-                    ]
-                )
+                t0 = time.time()
+                _cli(argv)
+                cold = time.time() - t0
+                t0 = time.time()
+                _cli(argv)
+                warm = time.time() - t0
             finally:
                 os.environ.pop("KCFTOOLS_ENGINE", None)
-            dt = time.time() - t0
-            result["device_e2e_seconds"] = round(dt, 2)
+            result["device_e2e_cold_seconds"] = round(cold, 2)
+            result["device_e2e_seconds"] = round(warm, 2)
             result["device_e2e_windows_per_sec"] = round(
-                2 * n_windows / dt, 1
+                N_SAMPLES * n_windows / warm, 1
             )
 
         if "lookup" in rungs and which in ("both", "dprefix"):

@@ -97,7 +97,7 @@ def build_sample_db(prefix, i):
     fold, then the streaming KMC writer."""
     from kcftools_tpu.engine.encode import canonicalize, pack_kmers
     from kcftools_tpu.io.kmc import write_kmc_db
-    from kcftools_tpu.native import release_sort_scratch, sort_pairs
+    from kcftools_tpu.native import release_sort_scratch, sort_u64
 
     total_pos = N_CONTIGS * (CONTIG_LEN - K + 1)
     buf = np.empty(total_pos, np.uint64)
@@ -112,7 +112,9 @@ def build_sample_db(prefix, i):
         fill += kk.size
         del kk
         log(f"  s{i} chr{j + 1} packed ({fill:,} k-mers so far)")
-    ks, _ = sort_pairs(buf[:fill], np.empty(fill, np.uint32))
+    # keys-only native radix (no 12 GB value lane, no value scratch);
+    # peak here = buf 24 + out 24 + key scratch 24 GB
+    ks = sort_u64(buf[:fill])
     del buf
     release_sort_scratch()
     log(f"  s{i} sorted")
@@ -120,9 +122,18 @@ def build_sample_db(prefix, i):
     keep[:1] = True
     keep[1:] = ks[1:] != ks[:-1]
     uniq = ks[keep]
-    idx = np.flatnonzero(keep)
-    counts = np.diff(np.append(idx, ks.shape[0])).astype(np.uint32)
-    del ks, keep, idx
+    # counts via the SPARSE duplicate positions (~3% at this scale):
+    # each duplicate key equals its owner, so the owner's index in
+    # ``uniq`` is a binary search - no 24 GB cumsum/flatnonzero lanes
+    dup_keys = ks[~keep]
+    del ks
+    counts = np.ones(uniq.shape[0], np.uint32)
+    if dup_keys.size:
+        owner = np.searchsorted(uniq, dup_keys)
+        del dup_keys
+        np.add.at(counts, owner, 1)
+        del owner
+    del keep
     log(f"  s{i}: {uniq.size:,} distinct {K}-mers; writing database")
     write_kmc_db(prefix, uniq, counts, K, counter_size=2)
     n = uniq.size

@@ -784,14 +784,32 @@ def runs_to_bits(d, l, valid_bits, n_pos):
     return out
 
 
+def sort_u64(keys):
+    """Sorted copy of uint64 keys - the keys-only native radix path
+    (no 4n-byte value scratch; half the memory traffic of the pair
+    sort). numpy fallback."""
+    keys = np.ascontiguousarray(keys, np.uint64)
+    lib = get_lib()
+    if keys.size == 0 or lib is None:
+        return np.sort(keys, kind="stable")
+    n = keys.shape[0]
+    out_k = np.empty(n, np.uint64)
+    lib.kcf_sort_pairs_u64_u32(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        None, n,
+        out_k.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        None,
+    )
+    return out_k
+
+
 def sort_unique_u64(keys):
     """Sorted unique uint64 keys - native threaded radix sort + dedup,
     numpy unique fallback."""
     keys = np.ascontiguousarray(keys, np.uint64)
     if keys.size == 0 or get_lib() is None:
         return np.unique(keys)
-    # the values are discarded; uninitialized memory is fine
-    ks, _ = sort_pairs(keys, np.empty(keys.shape[0], np.uint32))
+    ks = sort_u64(keys)
     keep = np.empty(ks.shape[0], bool)
     keep[:1] = True
     keep[1:] = ks[1:] != ks[:-1]

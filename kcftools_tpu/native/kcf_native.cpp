@@ -1313,6 +1313,13 @@ void radix_hist_range(const uint64_t* keys, int64_t lo, int64_t hi,
 void radix_scatter_range(const uint64_t* keys, const uint32_t* vals,
                          int64_t lo, int64_t hi, int shift, uint32_t* offs,
                          uint64_t* out_k, uint32_t* out_v) {
+  if (vals == nullptr) {  // keys-only mode: no value traffic at all
+    for (int64_t i = lo; i < hi; ++i) {
+      uint32_t at = offs[(keys[i] >> shift) & 0xFFFF]++;
+      out_k[at] = keys[i];
+    }
+    return;
+  }
   for (int64_t i = lo; i < hi; ++i) {
     uint32_t at = offs[(keys[i] >> shift) & 0xFFFF]++;
     out_k[at] = keys[i];
@@ -1325,6 +1332,10 @@ void radix_scatter_range(const uint64_t* keys, const uint32_t* vals,
 // skews (keeps the whole sort O(n log n) worst case).
 void sort_span_pairs(uint64_t* k, uint32_t* v, int64_t lo, int64_t hi) {
   int64_t len = hi - lo;
+  if (v == nullptr) {  // keys-only span fix
+    std::sort(k + lo, k + hi);
+    return;
+  }
   if (len <= 32) {
     for (int64_t i = lo + 1; i < hi; ++i) {
       uint64_t kk = k[i];
@@ -1367,9 +1378,15 @@ void kcf_release_sort_scratch(void) {
 void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
                             int64_t n, uint64_t* out_k, uint32_t* out_v) {
   if (n <= 0) return;
+  // vals/out_v may be null (keys-only sort): halves the memory
+  // traffic and skips the 4n-byte value scratch - at wheat scale
+  // (3G keys) that is 12 GB of host RAM the caller keeps
+  bool keys_only = (vals == nullptr || out_v == nullptr);
   RadixScratch& scratch = g_radix_scratch;
   if ((int64_t)scratch.k.size() < n) {
     scratch.k.resize(n);
+  }
+  if (!keys_only && (int64_t)scratch.v.size() < n) {
     scratch.v.resize(n);
   }
   uint64_t mx = 0;
@@ -1404,7 +1421,8 @@ void kcf_sort_pairs_u64_u32(const uint64_t* keys, const uint32_t* vals,
   for (int p = 0; p < passes; ++p) {
     int shift = shifts[p];
     uint64_t* dst_k = into_out ? out_k : scratch.k.data();
-    uint32_t* dst_v = into_out ? out_v : scratch.v.data();
+    uint32_t* dst_v =
+        keys_only ? nullptr : (into_out ? out_v : scratch.v.data());
     if (T == 1) {
       radix_hist_range(src_k, 0, n, shift, hist[0].data());
     } else {
@@ -1479,6 +1497,67 @@ static void sorted_lookup_range(const uint64_t* hay, int64_t n_hay,
     uint64_t q = needles[i];
     while (j < n_hay && hay[j] < q) ++j;
     out[i] = (j < n_hay && hay[j] == q) ? (int32_t)j : -1;
+  }
+}
+
+// Quantile-tile packing for the device-join engine: one threaded pass
+// computes each sorted key's analytic partition (the integer quantile
+// function of ops/pjoin.quantile_partition_ids - must stay
+// bit-identical with it), splits (hi, lo) per engine/encode.split_hi_lo,
+// and writes the flat [hi | lo | counts] upload buffer sequentially
+// (partition ids are monotone over sorted keys, so writes stream).
+// kcf_pjoin_hist fills the per-partition histogram so the caller can
+// size the tile first; counts byte-pack 4-per-word when packed_u8.
+static inline int64_t pjoin_part(uint64_t key, int k, int b) {
+  uint64_t x = (key << (64 - 2 * k)) >> 32;
+  uint64_t F = (x << 32) - ((x * x) >> 1);
+  return (int64_t)(F >> (63 - b));
+}
+
+extern "C" void kcf_pjoin_hist(const uint64_t* keys, int64_t n, int k,
+                               int b, int64_t* per /* 2^b, zeroed */) {
+  for (int64_t i = 0; i < n; ++i) ++per[pjoin_part(keys[i], k, b)];
+}
+
+extern "C" void kcf_pjoin_pack(const uint64_t* keys,
+                               const uint32_t* counts, int64_t n, int k,
+                               int b, int64_t tile, int packed_u8,
+                               const int64_t* per, uint32_t* buf) {
+  int64_t P = (int64_t)1 << b;
+  int64_t nt = P * tile;
+  int n_lo = k - (k < 16 ? k : 16);
+  uint64_t lo_mask = (((uint64_t)1) << (2 * n_lo)) - 1;
+  int T = pick_threads(n, 1 << 20);
+  // per-thread: a contiguous partition range with its key range found
+  // by scanning the prefix histogram (keys are partition-sorted)
+  std::vector<int64_t> pstart(P + 1);
+  pstart[0] = 0;
+  for (int64_t p = 0; p < P; ++p) pstart[p + 1] = pstart[p] + per[p];
+  auto work = [&](int t) {
+    int64_t p_lo = P * t / T, p_hi = P * (t + 1) / T;
+    for (int64_t p = p_lo; p < p_hi; ++p) {
+      int64_t base = p * tile;
+      int64_t a = pstart[p], e = pstart[p + 1];
+      for (int64_t i = a; i < e; ++i) {
+        int64_t slot = base + (i - a);
+        uint64_t key = keys[i];
+        buf[slot] = (uint32_t)(key >> (2 * n_lo));
+        buf[nt + slot] = (uint32_t)(key & lo_mask);
+        if (packed_u8) {
+          uint32_t* w = &buf[2 * nt + (slot >> 2)];
+          *w |= (counts[i] & 0xFFu) << ((slot & 3) << 3);
+        } else {
+          buf[2 * nt + slot] = counts[i];
+        }
+      }
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < T; ++t) ws.emplace_back(work, t);
+    for (auto& w : ws) w.join();
   }
 }
 

@@ -232,7 +232,10 @@ def run(args):
         kmc = KMCReader(db_prefix, materialize=False)
         k = kmc.kmer_length
         if args.feature == "window":
-            uh = args.engine in ("auto", "hybrid", "dprefix")
+            # window mode: every engine (incl. the device-join engine,
+            # which ships the sorted table to the chip) rides the
+            # sorted-ingest path
+            uh = args.engine in ("auto", "hybrid", "dprefix", "device")
         else:
             # gene/transcript: the hybrid and device positional engines
             # score spliced features through the same merge-join path
@@ -247,8 +250,12 @@ def run(args):
                 # the KMC decode + radix sort entirely (k <= 64)
                 if k <= 64:
                     db_sorted = load_sorted_cache(db_prefix, k)
+                # the device-join engine needs the full sorted table
+                # (it ships to the chip); the budget gate only applies
+                # to the host engines' streamed alternative
                 if db_sorted is None and (
                     args.memory or _db_fits_ram(kmc, k)
+                    or (args.engine == "device" and k <= 32)
                 ):
                     kmc._read_records()
                     db_sorted = _sort_db(kmc, k, db_prefix=db_prefix)
@@ -321,9 +328,11 @@ def run(args):
                 )
                 plan = None
             dscorer = None
-        if use_hybrid and args.engine == "dprefix" and dscorer is None:
-            from ..engine.device_prefix import DevicePrefixScorer
-
+        if (
+            use_hybrid
+            and args.engine in ("dprefix", "device")
+            and dscorer is None
+        ):
             # group size = the run's sample count (capped): each group
             # costs one transfer + one execution per slab regardless of
             # rows, so a 20-sample run in one group pays the tunnel's
@@ -333,9 +342,24 @@ def run(args):
                 if not os.environ.get("KCFTOOLS_DEVICE_BATCH")
                 else None
             )
-            dscorer = DevicePrefixScorer(
-                refidx, k, min_count=args.min_k_count, batch=batch
-            )
+            if args.engine == "device":
+                if k > 32:
+                    Logger.error(
+                        _CLASS,
+                        f"k={k} > 32: the device-join engine supports "
+                        "k <= 32 (use hybrid or dprefix)",
+                    )
+                from ..engine.device_join import DeviceJoinScorer
+
+                dscorer = DeviceJoinScorer(
+                    refidx, k, min_count=args.min_k_count, batch=batch
+                )
+            else:
+                from ..engine.device_prefix import DevicePrefixScorer
+
+                dscorer = DevicePrefixScorer(
+                    refidx, k, min_count=args.min_k_count, batch=batch
+                )
             if args.feature == "window":
                 for name, pl in plan.items():
                     if pl is not None:
