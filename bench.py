@@ -174,6 +174,43 @@ def _engine_duel(dbs, refk, r_idx, starts, ends, which, rounds=8):
     return rates
 
 
+def _refsim_rung(db_prefix, genome, starts, ends, db0, refk, r_idx,
+                 threads=2, rounds=3):
+    from kcftools_tpu.io.kmc import KMCReader, _build_norm
+
+    r = KMCReader(db_prefix, materialize=False)
+    suf_bytes = r.suffix_length // 4
+    rec = suf_bytes + r.counter_size
+    with open(r.suffix_file, "rb") as fh:
+        fh.seek(4)
+        raw = np.fromfile(fh, np.uint8, count=r.total_kmers * rec)
+    norm = _build_norm(r.signature_length)
+    from kcftools_tpu.native import refsim_scan
+
+    args = (genome, K, starts, ends, r.signature_map,
+            r.signature_length, r.prefix_array, r.lut_prefix_length,
+            raw, r.total_kmers, suf_bytes, r.counter_size, norm, 1,
+            threads)
+    obs = refsim_scan(*args)
+    # exactness gate: the simulated reference must agree with the
+    # production engine before its rate may serve as the baseline
+    out = np.empty(refk.size, np.uint8)
+    u8, ei, ev = merge_counts_u8(refk, db0[0], db0[1], out=out)
+    mine = window_scan_u8(u8, ei, ev, r_idx, 1, K, starts,
+                          (ends - K).astype(np.int32))
+    if not np.array_equal(obs, mine["observed"].astype(np.int64)):
+        raise AssertionError("refsim observed mismatch vs engine")
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.time()
+        refsim_scan(*args)
+        best = max(best, len(starts) / (time.time() - t0))
+    return {
+        "refsim_windows_per_sec": round(best, 1),
+        "refsim_threads": threads,
+    }
+
+
 def _lookup_rung(n_keys=1 << 22, n_q=1 << 22, rounds=10):
     import jax
     import jax.numpy as jnp
@@ -305,7 +342,8 @@ def main():
     rungs = set(
         os.environ.get(
             "BENCH_RUNGS",
-            "duel,rung20,e2e,device,lookup,gtf,pipeline,sharded,scaling",
+            "duel,rung20,e2e,device,lookup,refsim,gtf,pipeline,"
+            "sharded,scaling",
         ).split(",")
     )
 
@@ -423,6 +461,30 @@ def main():
             result["device_e2e_windows_per_sec"] = round(
                 N_SAMPLES * n_windows / warm, 1
             )
+
+        if "refsim" in rungs:
+            # MEASURED Java-baseline stand-in: the reference's exact
+            # lookup mechanics (char-by-char k-mer repack, revcomp
+            # canonicalization, signature scan, prefix-LUT + suffix
+            # binary search, one thread-pool task per window;
+            # KMC.java:292-326, GetVariants.java:129-261) transcribed
+            # to C++ and run on THIS host against the same s0 database
+            # and window set. C++ >= JVM speed, so vs_baseline_measured
+            # (champion / refsim rate) is a conservative multiplier on
+            # identical hardware - replacing the modeled ~3200 w/s
+            # 24-thread estimate that baseline_estimated flags.
+            try:
+                result.update(_refsim_rung(
+                    db_prefixes[0], genome, starts, ends, dbs[0], refk,
+                    r_idx,
+                ))
+                if "refsim_windows_per_sec" in result:
+                    result["vs_baseline_measured"] = round(
+                        result["value"]
+                        / result["refsim_windows_per_sec"], 2
+                    )
+            except Exception as e:
+                sys.stderr.write(f"refsim rung failed: {e}\n")
 
         if "lookup" in rungs and which in ("both", "dprefix"):
             # isolated ON-DEVICE lookup rate of the Pallas partitioned

@@ -842,6 +842,46 @@ def sorted_lookup(hay, needles_sorted):
     return out
 
 
+def refsim_scan(codes, k, w_start, w_end, sig_map, sig_len,
+                prefix_array, lut_len, suffix_raw, n_rec, suf_bytes,
+                counter_size, norm, min_count=1, threads=2):
+    """The reference tool's exact per-window lookup mechanics
+    (char-by-char k-mer repack + revcomp canonicalization + signature
+    scan + prefix-LUT binary search + per-window thread pool;
+    KMC.java:292-326, Kmer.java:105-118, GetVariants.java:129-261,
+    HelperFunctions.java:232-243) as a measured host baseline. Returns
+    per-window observed counts. Requires the native library."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("refsim requires the native library")
+    codes = np.ascontiguousarray(codes, np.uint8)
+    w_start = np.ascontiguousarray(w_start, np.int32)
+    w_end = np.ascontiguousarray(w_end, np.int32)
+    sig_map = np.ascontiguousarray(sig_map, np.uint32)
+    prefix_array = np.ascontiguousarray(prefix_array, np.uint64)
+    suffix_raw = np.ascontiguousarray(suffix_raw, np.uint8)
+    norm = np.ascontiguousarray(norm, np.uint32)
+    out = np.zeros(w_start.shape[0], np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.kcf_refsim_scan(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(codes.shape[0]), ctypes.c_int(k),
+        w_start.ctypes.data_as(i32p), w_end.ctypes.data_as(i32p),
+        ctypes.c_int64(w_start.shape[0]),
+        _u32p(sig_map), ctypes.c_int(sig_len),
+        prefix_array.ctypes.data_as(u64p),
+        ctypes.c_int64(prefix_array.shape[0]), ctypes.c_int(lut_len),
+        suffix_raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n_rec), ctypes.c_int(suf_bytes),
+        ctypes.c_int(counter_size), _u32p(norm),
+        ctypes.c_int(min_count), ctypes.c_int(threads),
+        out.ctypes.data_as(i64p),
+    )
+    return out
+
+
 def release_sort_scratch():
     """Free the calling thread's persistent radix-sort scratch (n x 12
     bytes, kept across calls for reuse). Call after one-off multi-Gbp

@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <atomic>
 #include <thread>
 #include <vector>
 
@@ -1497,6 +1498,124 @@ static void sorted_lookup_range(const uint64_t* hay, int64_t n_hay,
     uint64_t q = needles[i];
     while (j < n_hay && hay[j] < q) ++j;
     out[i] = (j < n_hay && hay[j] == q) ? (int32_t)j : -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Reference-lookup simulator ("refsim"): the Java tool's EXACT per-window
+// mechanics, transcribed for a measured baseline on this host (no JVM in
+// the image). Per window (GetVariants.java:202-261): per k-mer-start
+// char-by-char repacking (Fasta.java:90-127 rebuilds every k-mer, O(k)
+// each), canonicalization via an explicit reverse complement
+// (Kmer.java:72-79), KMC signature = min norm over all m-mers
+// (Kmer.java:105-118), then signatureMap -> prefix-LUT range and a byte-
+// compare binary search over the suffix records (KMC.java:292-326,
+// HelperFunctions.java:232-243). One task per window on a thread pool
+// (GetVariants.java:129-159). C++ is at least as fast as the JVM, so the
+// measured rate is a CONSERVATIVE (upper-bound) stand-in for the Java
+// baseline on identical hardware.
+extern "C" void kcf_refsim_scan(
+    const uint8_t* codes, int64_t n_codes, int k,
+    const int32_t* w_start, const int32_t* w_end, int64_t n_win,
+    const uint32_t* sig_map, int sig_len,
+    const uint64_t* prefix_array, int64_t n_prefix, int lut_len,
+    const uint8_t* suffix, int64_t n_rec, int suf_bytes,
+    int counter_size, const uint32_t* norm, int min_count, int threads,
+    int64_t* out_observed) {
+  int suffix_len = k - lut_len;
+  uint64_t suf_mask = (suffix_len >= 32)
+                          ? ~0ull
+                          : ((1ull << (2 * suffix_len)) - 1);
+  uint64_t sig_mask = (1ull << (2 * sig_len)) - 1;
+  int rec = suf_bytes + counter_size;
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    uint8_t qb[16];
+    for (;;) {
+      int64_t w = next.fetch_add(1);
+      if (w >= n_win) return;
+      int64_t obs = 0;
+      int64_t lo_pos = w_start[w];
+      int64_t hi_pos = (int64_t)w_end[w] - k;
+      for (int64_t s = lo_pos; s <= hi_pos; ++s) {
+        // char-by-char forward pack, reset on non-ACGT (the reference
+        // re-derives every k-mer from scratch)
+        uint64_t fwd = 0;
+        bool ok = true;
+        for (int j = 0; j < k; ++j) {
+          uint8_t c = codes[s + j];
+          if (c > 3) {
+            ok = false;
+            break;
+          }
+          fwd = (fwd << 2) | c;
+        }
+        if (!ok) continue;
+        // explicit reverse complement (per-base loop, as Kmer does)
+        uint64_t rc = 0, t = fwd;
+        for (int j = 0; j < k; ++j) {
+          rc = (rc << 2) | (3ull - (t & 3ull));
+          t >>= 2;
+        }
+        uint64_t canon = fwd < rc ? fwd : rc;
+        // signature: min norm over all m-mers
+        uint32_t best = 0xFFFFFFFFu;
+        for (int p = 0; p <= k - sig_len; ++p) {
+          uint64_t mm = (canon >> (2 * (k - sig_len - p))) & sig_mask;
+          uint32_t v = norm[mm];
+          if (v < best) best = v;
+        }
+        // prefix-LUT range
+        uint64_t pref = canon >> (2 * suffix_len);
+        uint64_t idx =
+            (uint64_t)sig_map[best] * (1ull << (2 * lut_len)) + pref;
+        int64_t lo = (int64_t)prefix_array[idx];
+        int64_t hi =
+            (idx + 1 < (uint64_t)n_prefix) ? (int64_t)prefix_array[idx + 1]
+                                           : n_rec;
+        // query suffix bytes (big-endian, whole bytes)
+        uint64_t sv = canon & suf_mask;
+        for (int j = 0; j < suf_bytes; ++j)
+          qb[j] = (uint8_t)(sv >> (8 * (suf_bytes - 1 - j)));
+        // binary search with byte comparison
+        int64_t found = -1;
+        while (lo < hi) {
+          int64_t mid = (lo + hi) >> 1;
+          const uint8_t* rp = suffix + mid * rec;
+          int cmpres = 0;
+          for (int j = 0; j < suf_bytes; ++j) {
+            if (rp[j] != qb[j]) {
+              cmpres = rp[j] < qb[j] ? -1 : 1;
+              break;
+            }
+          }
+          if (cmpres == 0) {
+            found = mid;
+            break;
+          }
+          if (cmpres < 0)
+            lo = mid + 1;
+          else
+            hi = mid;
+        }
+        if (found >= 0) {
+          const uint8_t* rp = suffix + found * rec + suf_bytes;
+          uint32_t cnt = 0;
+          for (int j = 0; j < counter_size; ++j)
+            cnt |= (uint32_t)rp[j] << (8 * j);
+          if (cnt >= (uint32_t)min_count) ++obs;
+        }
+      }
+      out_observed[w] = obs;
+    }
+  };
+  int T = threads > 0 ? threads : 1;
+  if (T == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < T; ++t) ws.emplace_back(worker);
+    for (auto& w : ws) w.join();
   }
 }
 
