@@ -575,15 +575,20 @@ def main():
             )
             p = subprocess.run(
                 [sys.executable, "benchmarks/mesh_bench.py", "--mode",
-                 "scaling", "--windows", "512", "--rounds", "4"],
+                 "scaling", "--windows", "512", "--rounds", "5"],
                 capture_output=True, text=True, timeout=560,
                 cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
             )
             try:
                 sc = json.loads(p.stdout.strip().splitlines()[-1])
+                # medians with dispersion, efficiency bounded at 1 by
+                # construction (see benchmarks/mesh_bench.py) - a
+                # best-of metric on this noisy host once recorded
+                # efficiencies above 1.0
                 result["scaling_data_axis_efficiency"] = [
                     c["modeled_efficiency"] for c in sc["data_curve"]
                 ]
+                result["scaling_data_axis_stats"] = sc["data_curve"]
             except Exception:
                 pass
             p = subprocess.run(
@@ -596,6 +601,11 @@ def main():
                 d = json.loads(p.stdout.strip().splitlines()[-1])
                 result["cross_process_efficiency"] = d[
                     "cross_process_efficiency"]
+                result["cross_process_stats"] = {
+                    key: v for key, v in d.items()
+                    if key.endswith(("_median", "_min", "_max"))
+                    or key == "rounds"
+                }
             except Exception:
                 pass
 

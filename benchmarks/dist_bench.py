@@ -25,7 +25,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 K = 31
-ROUNDS = 4
+ROUNDS = 5
+
+
+def _median(ts):
+    ts = sorted(ts)
+    m = len(ts) // 2
+    return ts[m] if len(ts) % 2 else (ts[m - 1] + ts[m]) / 2
 
 
 def _pin_cpu(n_devices):
@@ -71,15 +77,14 @@ def _timed_rounds(scorer, z):
     scorer.collect(
         scorer.score_batch_async(z["codes"], z["valid"], z["win_len"])
     )
-    best = None
+    times = []
     for _ in range(ROUNDS):
         t0 = time.time()
         res = scorer.collect(
             scorer.score_batch_async(z["codes"], z["valid"], z["win_len"])
         )
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return best, res
+        times.append(time.time() - t0)
+    return times, res
 
 
 def worker(coord, pid, db_prefix, batch_npz, out_path):
@@ -105,14 +110,13 @@ def worker(coord, pid, db_prefix, batch_npz, out_path):
         return np.asarray(full)
 
     run()
-    best = None
+    times = []
     for _ in range(ROUNDS):
         t0 = time.time()
         run()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        times.append(time.time() - t0)
     with open(out_path, "w") as fh:
-        fh.write(json.dumps({"seconds": best}))
+        fh.write(json.dumps({"times": times}))
     print("WORKER_OK", pid, flush=True)
     return 0
 
@@ -134,8 +138,9 @@ def main():
     loader = ShardedTableLoader(prefix, mesh, slab_records=200_000)
     scorer = loader.load_scorer(min_count=1)
     z = np.load(batch)
-    t1, res = _timed_rounds(scorer, z)
+    t1_times, res = _timed_rounds(scorer, z)
     assert int(res["observed"].sum()) > 0
+    t1 = _median(t1_times)
 
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
@@ -163,15 +168,28 @@ def main():
         if p.returncode != 0:
             sys.stderr.write(out.decode(errors="replace")[-2000:])
             raise SystemExit(f"worker {pid} failed")
-    t2 = max(json.load(open(o))["seconds"] for o in outs)
+    worker_times = [json.load(open(o))["times"] for o in outs]
+    # the system is gated by the slower process; median over rounds,
+    # and the efficiency is bounded at 1 by construction (two
+    # processes on one host cannot genuinely beat one - readings
+    # above 1 are run noise, which medians + the bound keep from
+    # deciding the >=0.8 target either way)
+    t2 = max(_median(ts) for ts in worker_times)
 
     print(json.dumps({
         "mode": "two_process",
         "mesh": "data=2 x table=4 (8 virtual CPU devices)",
         "n_windows": n_windows,
-        "one_process_seconds": round(t1, 4),
-        "two_process_seconds": round(t2, 4),
-        "cross_process_efficiency": round(t1 / t2, 4),
+        "rounds": ROUNDS,
+        "one_process_seconds_median": round(t1, 4),
+        "one_process_seconds_min": round(min(t1_times), 4),
+        "one_process_seconds_max": round(max(t1_times), 4),
+        "two_process_seconds_median": round(t2, 4),
+        "two_process_seconds_min": round(
+            max(min(ts) for ts in worker_times), 4),
+        "two_process_seconds_max": round(
+            max(max(ts) for ts in worker_times), 4),
+        "cross_process_efficiency": round(t1 / max(t2, t1), 4),
     }))
     return 0
 

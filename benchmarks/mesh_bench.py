@@ -84,15 +84,19 @@ def _mk_workload(rng, k, n_keys, n_windows, win_len):
 
 
 def _time_scorer(scorer, codes, vmask, wl, rounds):
-    # warm (compile)
+    # warm (compile), then per-round times: the scaling sweeps need the
+    # MEDIAN with dispersion (a best-of on a noisy 2-core host recorded
+    # efficiencies above 1.0, which can't support a pass/fail call)
     scorer.score_batch(codes, vmask, wl)
-    best = None
+    times = []
     for _ in range(rounds):
         t0 = time.time()
         res = scorer.score_batch(codes, vmask, wl)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return best, res
+        times.append(time.time() - t0)
+    times.sort()
+    med = times[len(times) // 2] if len(times) % 2 else (
+        times[len(times) // 2 - 1] + times[len(times) // 2]) / 2
+    return {"median": med, "min": times[0], "max": times[-1]}, res
 
 
 def main():
@@ -135,8 +139,9 @@ def main():
         table = build_table(keys, counts, k, both_strands=True)
         mesh = make_mesh(data=n_dev // t_axis, table=t_axis)
         scorer = ShardedWindowScorer(table, mesh, min_count=1)
-        dt, res = _time_scorer(scorer, codes, vmask, wl, args.rounds)
+        st, res = _time_scorer(scorer, codes, vmask, wl, args.rounds)
         assert int(res["observed"].sum()) > 0
+        dt = st["min"]  # throughput rung: best-of (tunnel-stall robust)
         out.update(
             mode="sharded", table_axis=t_axis,
             data_axis=n_dev // t_axis,
@@ -159,17 +164,26 @@ def main():
                     mesh = make_mesh(data=1, table=n,
                                      devices=jax.devices()[:n])
                 scorer = ShardedWindowScorer(table, mesh, min_count=1)
-                dt, res = _time_scorer(scorer, codes, vmask, wl,
+                st, res = _time_scorer(scorer, codes, vmask, wl,
                                        args.rounds)
                 assert int(res["observed"].sum()) > 0
                 if t1 is None:
-                    t1 = dt
+                    t1 = st["median"]
+                # efficiency bounded at 1 BY CONSTRUCTION: the virtual
+                # mesh shares one host's cores, so a mesh program can
+                # only certify the overhead it ADDS; medians keep run
+                # noise from reading as >100% scaling
+                eff = t1 / max(st["median"], t1)
                 curve.append(
                     {
                         axis_name + "_axis": n,
-                        "seconds": round(dt, 4),
-                        "overhead_vs_1dev": round(dt / t1 - 1, 4),
-                        "modeled_efficiency": round(t1 / dt, 4),
+                        "seconds_median": round(st["median"], 4),
+                        "seconds_min": round(st["min"], 4),
+                        "seconds_max": round(st["max"], 4),
+                        "overhead_vs_1dev": round(
+                            max(st["median"] / t1 - 1, 0.0), 4
+                        ),
+                        "modeled_efficiency": round(eff, 4),
                     }
                 )
                 n *= 2
