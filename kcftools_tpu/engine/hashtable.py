@@ -135,6 +135,12 @@ def build_table(
     load_factor: float = 0.8,
     both_strands: bool = True,
 ) -> KmerTable:
+    if k > 32:
+        raise ValueError(
+            f"k={k} > 32: the (hi, lo)-uint32 device table holds "
+            "uint64-packed k-mers only (wide k stays on the host "
+            "merge tier)"
+        )
     kmers_u64 = np.asarray(kmers_u64, np.uint64)
     counts = np.asarray(counts, np.uint32)
     n = kmers_u64.shape[0]
