@@ -592,6 +592,19 @@ def main():
             except Exception:
                 pass
             p = subprocess.run(
+                [sys.executable, "benchmarks/mesh_bench.py", "--mode",
+                 "dprefix_samples", "--rounds", "5"],
+                capture_output=True, text=True, timeout=560,
+                cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
+            )
+            try:
+                sa = json.loads(p.stdout.strip().splitlines()[-1])
+                result["sample_axis_efficiency"] = sa[
+                    "sample_axis_efficiency"]
+                result["sample_rows_devices"] = sa["sample_rows_devices"]
+            except Exception:
+                pass
+            p = subprocess.run(
                 [sys.executable, "benchmarks/dist_bench.py"],
                 capture_output=True, text=True, timeout=560,
                 cwd=os.path.dirname(os.path.abspath(__file__)),

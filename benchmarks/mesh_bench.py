@@ -101,7 +101,8 @@ def _time_scorer(scorer, codes, vmask, wl, rounds):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["sharded", "scaling"],
+    ap.add_argument("--mode",
+                    choices=["sharded", "scaling", "dprefix_samples"],
                     default="sharded")
     ap.add_argument("--windows", type=int, default=256)
     ap.add_argument("--win-len", type=int, default=5000)
@@ -131,6 +132,71 @@ def main():
     out = {"device_kind": str(jax.devices()[0]), "n_devices": n_dev,
            "n_windows": n_windows, "win_len": args.win_len,
            "table_keys": int(keys.shape[0])}
+
+    if args.mode == "dprefix_samples":
+        # sample-axis parallelism of the dprefix engine: one slab
+        # (small genome), an 8-sample group, devices 1 vs N - the
+        # spread splits the group's sample rows across the pool.
+        # Same virtual-mesh caveat as the data-axis sweep: medians,
+        # efficiency bounded at 1 by construction.
+        from kcftools_tpu.engine.device_prefix import DevicePrefixScorer
+        from kcftools_tpu.engine.windows import tiling_windows
+
+        rng2 = np.random.default_rng(3)
+        seq_len = 1 << 20
+        n_ref = 800_000
+        kk = 31
+        s2, e2 = tiling_windows(seq_len, 5000, kk)
+        n_pos = seq_len - kk + 1
+        r_idx = rng2.integers(0, n_ref, n_pos).astype(np.int32)
+        samples = [
+            rng2.integers(0, 9, n_ref).astype(np.uint8) for _ in range(8)
+        ]
+        empty_i = np.empty(0, np.int32)
+        empty_v = np.empty(0, np.uint32)
+
+        def run_group(n_devs):
+            sc = DevicePrefixScorer(
+                None, kk, min_count=1, batch=8,
+                devices=jax.devices()[:n_devs],
+            )
+            sc.add_chrom("c", r_idx, s2, e2)
+
+            def one_round():
+                for i, cu in enumerate(samples):
+                    sc.submit_counts(i, cu, empty_i, empty_v)
+                tot = 0
+                for i in range(8):
+                    tot += int(sc.collect(i)["c"]["observed"].sum())
+                    sc.discard(i)
+                return tot
+
+            one_round()  # compile
+            times = []
+            for _ in range(args.rounds):
+                t0 = time.time()
+                one_round()
+                times.append(time.time() - t0)
+            n_spread = len(sc.sample_rows_devices())
+            sc.close()
+            times.sort()
+            med = times[len(times) // 2] if len(times) % 2 else (
+                times[len(times) // 2 - 1] + times[len(times) // 2]) / 2
+            return med, times, n_spread
+
+        t1, t1_all, _ = run_group(1)
+        tn, tn_all, n_spread = run_group(n_dev)
+        out.update(
+            mode="dprefix_samples",
+            sample_rows_devices=n_spread,
+            one_device_seconds_median=round(t1, 4),
+            n_device_seconds_median=round(tn, 4),
+            n_device_seconds_min=round(min(tn_all), 4),
+            n_device_seconds_max=round(max(tn_all), 4),
+            sample_axis_efficiency=round(t1 / max(tn, t1), 4),
+        )
+        print(json.dumps(out))
+        return 0
 
     if args.mode == "sharded":
         t_axis = args.table_axis or n_dev

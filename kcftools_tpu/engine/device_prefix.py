@@ -445,9 +445,24 @@ class DevicePrefixScorer:
         from ..native import _uniform_window_map, build_ordmap
 
         self._layout.finalize(n_parts=len(self.devices))
+        n_slabs = max(1, len(self._layout.slabs))
+        # sample-axis spread: when there are more devices than slabs
+        # (few-chromosome genomes on a pod), each slab gets a POOL of
+        # devices and sample rows of a group split across the pool -
+        # otherwise the extra chips idle while every slab's whole group
+        # executes on its one device
+        spread = max(1, len(self.devices) // n_slabs)
+        self._spread = spread
         self._statics = []
         for si, slab in enumerate(self._layout.slabs):
-            dev = self.devices[si % len(self.devices)]
+            if spread > 1:
+                pool = [
+                    self.devices[(si * spread + j) % len(self.devices)]
+                    for j in range(spread)
+                ]
+            else:
+                pool = [self.devices[si % len(self.devices)]]
+            dev = pool[0]
             nw = slab["n_win"]
             ws = slab["w_start"][:nw]
             wh = slab["w_hi"][:nw]
@@ -486,11 +501,17 @@ class DevicePrefixScorer:
                 self._cs_tot_fn = jax.jit(_cs_tot)
             st = {
                 "device": dev,
-                "cs_tot": self._cs_tot_fn(
-                    jax.device_put(valid_bits, dev)
-                ),
-                "w_start": jax.device_put(slab["w_start"], dev),
-                "w_hi": jax.device_put(slab["w_hi"], dev),
+                "pool": pool,
+                # per-pool-device copies of the slab statics (one
+                # device = the old layout; spreading replicates them)
+                "cs_tot": [
+                    self._cs_tot_fn(jax.device_put(valid_bits, d))
+                    for d in pool
+                ],
+                "w_start": [
+                    jax.device_put(slab["w_start"], d) for d in pool
+                ],
+                "w_hi": [jax.device_put(slab["w_hi"], d) for d in pool],
                 # static valid bitmap for the run encoder (host)
                 "valid_bits": valid_bits,
                 "fusable": fusable,
@@ -687,45 +708,68 @@ class DevicePrefixScorer:
 
     def _dispatch_group(self, group, kind):
         """Launch the batched scoring program for one group; transfer,
-        execution and result fetch proceed asynchronously. Returns the
-        per-slab result handles."""
+        execution and result fetch proceed asynchronously. Sample rows
+        split across each slab's device POOL (sample-axis parallelism:
+        with more chips than slabs, a group of S samples runs as
+        pool-size chunks concurrently instead of serially on one
+        chip). Returns per-slab lists of (handle, n_real_rows)."""
         import jax
 
-        rows = self.batch
+        spread = getattr(self, "_spread", 1)
+        chunk = -(-self.batch // spread)
         fn = self._score_fn(kind)
         handles = []
         for si in range(len(self._statics)):
             st = self._statics[si]
             if kind == "runs":
                 cap = self._run_cap
-                mat = np.zeros((rows, 2, cap), np.uint8)
+                mat = np.zeros((self.batch, 2, cap), np.uint8)
                 for r, slot in enumerate(group):
                     d, l = slot["runs"][si]
                     mat[r, 0, : min(d.shape[0], cap)] = d[:cap]
                     mat[r, 1, : min(l.shape[0], cap)] = l[:cap]
             else:
                 nbb = self._layout.pos_pad // 8
-                mat = np.zeros((rows, nbb), np.uint8)
+                mat = np.zeros((self.batch, nbb), np.uint8)
                 for r, slot in enumerate(group):
                     mat[r] = slot["bits"][si]
-            h = fn(
-                jax.device_put(mat, st["device"]),
-                st["cs_tot"], st["w_start"], st["w_hi"],
-            )
-            # start the device->host copy as soon as the exec finishes,
-            # so the fetch round trip overlaps later submits/writes
-            try:
-                h.copy_to_host_async()
-            except AttributeError:
-                pass
-            handles.append(h)
+            slab_handles = []
+            for j, dev in enumerate(st["pool"]):
+                lo = j * chunk
+                if lo >= self.batch:
+                    break
+                part = mat[lo : lo + chunk]
+                if part.shape[0] < chunk:  # keep one compiled shape
+                    part = np.concatenate(
+                        [part,
+                         np.zeros((chunk - part.shape[0],)
+                                  + part.shape[1:], np.uint8)]
+                    )
+                h = fn(
+                    jax.device_put(part, dev),
+                    st["cs_tot"][j], st["w_start"][j], st["w_hi"][j],
+                )
+                # start the device->host copy as soon as the exec
+                # finishes, so the fetch overlaps later submits/writes
+                try:
+                    h.copy_to_host_async()
+                except AttributeError:
+                    pass
+                slab_handles.append(h)
+            handles.append(slab_handles)
         return handles
 
     def _take_group(self, token):
-        """Fetch (once) and cache a dispatched group's result arrays."""
+        """Fetch (once) and cache a dispatched group's result arrays,
+        re-assembling row chunks from the slab's device pool."""
         arrs = self._group_handles[token]
         if arrs and not isinstance(arrs[0], np.ndarray):
-            arrs = [np.asarray(h) for h in arrs]
+            arrs = [
+                np.concatenate(
+                    [np.asarray(h) for h in slab_handles], axis=1
+                )[:, : self.batch]
+                for slab_handles in arrs
+            ]
             self._group_handles[token] = arrs
         return arrs
 
@@ -779,7 +823,21 @@ class DevicePrefixScorer:
     def devices_used(self):
         """Distinct devices holding slab state (for tests/telemetry)."""
         self._finalize()
-        return {st["device"] for st in self._statics}
+        return {d for st in self._statics for d in st["pool"]}
+
+    def sample_rows_devices(self):
+        """Distinct devices that would execute a full group's sample
+        rows (the sample-axis spread; for dryrun assertions)."""
+        self._finalize()
+        spread = getattr(self, "_spread", 1)
+        chunk = -(-self.batch // spread)
+        used = set()
+        for st in self._statics:
+            for j, dev in enumerate(st["pool"]):
+                if j * chunk >= self.batch:
+                    break
+                used.add(dev)
+        return used
 
     def discard(self, key=None):
         self._results.pop(key, None)

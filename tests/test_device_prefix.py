@@ -297,3 +297,51 @@ def test_window_scan_u8_simd_vs_scalar(rng):
                 err_msg=f"trial={trial} field={key}",
             )
 
+
+
+def test_sample_axis_spread_multi_device(rng):
+    """With more devices than slabs, a group's sample rows must spread
+    across the slab's device pool - and stay exact per sample."""
+    import jax
+
+    from kcftools_tpu.engine.device_prefix import DevicePrefixScorer
+    from kcftools_tpu.engine.prefix_scan import (
+        chromosome_stats_indirect,
+        window_stats,
+    )
+    from kcftools_tpu.engine.windows import tiling_windows
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device backend")
+    k = 31
+    seq_len = 4096
+    n_ref = 3000
+    starts, ends = tiling_windows(seq_len, 512, k)
+    n_pos = seq_len - k + 1
+    r_idx = rng.integers(0, n_ref, n_pos).astype(np.int32)
+    r_idx[rng.random(n_pos) < 0.04] = -1
+
+    sc = DevicePrefixScorer(None, k, min_count=1, batch=8,
+                            devices=jax.devices())
+    sc.add_chrom("c", r_idx, starts, ends)
+    samples = []
+    for i in range(8):
+        counts_u8 = rng.integers(0, 9, n_ref).astype(np.uint8)
+        samples.append(counts_u8)
+        sc.submit_counts(i, counts_u8, np.empty(0, np.int32),
+                         np.empty(0, np.uint32))
+    assert len(sc.sample_rows_devices()) > 1
+    for i, counts_u8 in enumerate(samples):
+        res = sc.collect(i)["c"]
+        st = chromosome_stats_indirect(
+            counts_u8.astype(np.uint32), r_idx,
+            np.ones(seq_len, bool), 1, k,
+        )
+        want = window_stats(st, starts, ends)
+        for key in ("observed", "variations", "inner", "left", "right",
+                    "count_sum"):
+            np.testing.assert_array_equal(res[key], want[key],
+                                          err_msg=f"s{i} {key}")
+    sc.close()
