@@ -232,10 +232,15 @@ def run(args):
         kmc = KMCReader(db_prefix, materialize=False)
         k = kmc.kmer_length
         if args.feature == "window":
-            # window mode: every engine (incl. the device-join engine,
-            # which ships the sorted table to the chip) rides the
-            # sorted-ingest path
-            uh = args.engine in ("auto", "hybrid", "dprefix", "device")
+            uh = args.engine in ("auto", "hybrid", "dprefix")
+            if args.engine == "device" and k <= 32:
+                # single chip: the device-JOIN engine (the sorted table
+                # ships to the chip) rides the sorted-ingest path;
+                # multi-chip keeps the mesh-sharded table (tables
+                # larger than any host's RAM, parallel/sharded.py)
+                import jax
+
+                uh = jax.device_count() == 1
         else:
             # gene/transcript: the hybrid and device positional engines
             # score spliced features through the same merge-join path
