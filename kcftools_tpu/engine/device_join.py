@@ -128,11 +128,16 @@ def _score_sample(tiles, q_hi, q_lo, slot_maps, valid_bits, w_starts,
     routed = join_fn(q_hi, q_lo, th, tl, tc)
     flat = routed.reshape(-1)
 
-    def one(sm, vb, ws, wh):
+    def one(args):
+        sm, vb, ws, wh = args
         return _slab_scan(flat, sm, vb, ws, wh, k=k,
                           min_count=min_count, wide_windows=wide_windows)
 
-    return jax.vmap(one)(slot_maps, valid_bits, w_starts, w_his)
+    # lax.map, not vmap: slabs run sequentially inside the one launch,
+    # so per-slab scan intermediates (several arrays of pos_pad words)
+    # never coexist - at 325 Mbp+ genomes a vmapped scan would
+    # materialize every slab's lanes at once and exhaust device HBM
+    return jax.lax.map(one, (slot_maps, valid_bits, w_starts, w_his))
 
 
 class DeviceJoinScorer:
