@@ -119,10 +119,10 @@ def _score_sample(tiles, q_hi, q_lo, slot_maps, valid_bits, w_starts,
     th = tiles[:n].reshape(P, Tt)
     tl = tiles[n : 2 * n].reshape(P, Tt)
     if packed_counts:
-        words = tiles[2 * n :].reshape(P, Tt // 4)
-        sh = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(8)
-        tc = ((words[:, :, None] >> sh[None, None, :])
-              & jnp.uint32(0xFF)).reshape(P, Tt)
+        # planar byte-packed counts go into the join AS-IS (the packed
+        # kernel unpacks per VMEM tile): no (P, Tt) uint32 count array
+        # ever materializes in HBM
+        tc = tiles[2 * n :].reshape(P, Tt // 4)
     else:
         tc = tiles[2 * n :].reshape(P, Tt)
     routed = join_fn(q_hi, q_lo, th, tl, tc)
@@ -235,7 +235,7 @@ class DeviceJoinScorer:
 
         fkey = (Tt, packed)
         if fkey not in self._slab_fns:
-            join_fn = pjoin_lookup_fn(self.P, self.Tq, Tt)
+            join_fn = pjoin_lookup_fn(self.P, self.Tq, Tt, packed=packed)
             # windows spanning > 65537 k-mer positions need the float64
             # count-sum fallback; everything else takes the fast exact
             # two-plane uint32 path (static per layout)
@@ -254,7 +254,12 @@ class DeviceJoinScorer:
                     P=self.P,
                     Tt=Tt,
                     packed_counts=packed,
-                )
+                ),
+                # the per-sample tile buffer is single-use: donating it
+                # lets XLA recycle its HBM for the routed counts + scan
+                # lanes (decisive at 325 Mbp+, where tiles alone are
+                # multiple GB of a 16 GB chip)
+                donate_argnums=(0,),
             )
         return self._slab_fns[fkey]
 
@@ -314,9 +319,16 @@ class DeviceJoinScorer:
             buf[slot] = hi
             buf[nt + slot] = lo
             if packed:
+                # planar layout: byte b of word (p, j) = count of slot
+                # p*Tt + b*(Tt/4) + j (matches ops/pjoin._unpack_planar)
                 cnt8 = np.zeros(nt, np.uint8)
                 cnt8[slot] = db_counts
-                buf[2 * nt :] = cnt8.view(np.uint32)
+                c = cnt8.reshape(self.P, 4, Tt // 4).astype(np.uint32)
+                buf[2 * nt :] = (
+                    c[:, 0] | (c[:, 1] << np.uint32(8))
+                    | (c[:, 2] << np.uint32(16))
+                    | (c[:, 3] << np.uint32(24))
+                ).ravel()
             else:
                 buf[2 * nt + slot] = db_counts
         return buf, Tt, packed

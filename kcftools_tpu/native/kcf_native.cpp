@@ -1663,8 +1663,13 @@ extern "C" void kcf_pjoin_pack(const uint64_t* keys,
         buf[slot] = (uint32_t)(key >> (2 * n_lo));
         buf[nt + slot] = (uint32_t)(key & lo_mask);
         if (packed_u8) {
-          uint32_t* w = &buf[2 * nt + (slot >> 2)];
-          *w |= (counts[i] & 0xFFu) << ((slot & 3) << 3);
+          // planar byte packing (see ops/pjoin._unpack_planar): byte
+          // (local / W) of word (p, local % W), W = tile/4 - words
+          // never span partitions, so the thread split stays race-free
+          int64_t W = tile >> 2;
+          int64_t local = i - a;
+          uint32_t* w = &buf[2 * nt + p * W + (local % W)];
+          *w |= (counts[i] & 0xFFu) << ((local / W) * 8);
         } else {
           buf[2 * nt + slot] = counts[i];
         }

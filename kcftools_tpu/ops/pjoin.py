@@ -165,6 +165,36 @@ def route_queries(kmers_u64, k, P, tile=None):
 _P_BLK = 8  # partitions per grid step (TPU sublane granularity)
 
 
+def _unpack_planar(w):
+    """(B, Tt/4) planar-packed uint8 counts -> (B, Tt) uint32: byte b
+    of word j holds the count of slot b*(Tt/4)+j, so unpacking is a
+    concat of shifted planes (Mosaic rejects the interleaved layout's
+    (B, Tt/4, 4) -> (B, Tt) shape cast)."""
+    return jnp.concatenate(
+        [((w >> jnp.uint32(8 * b)) & jnp.uint32(0xFF)) for b in range(4)],
+        axis=-1,
+    )
+
+
+def _kernel_packed(qh_ref, ql_ref, th_ref, tl_ref, tw_ref, out_ref):
+    # packed-count variant: counts stay byte-packed all the way into
+    # VMEM (3/4 less HBM and wire for the count plane) and unpack
+    # per-tile on the VPU
+    qh = qh_ref[...]
+    ql = ql_ref[...]
+    th = th_ref[...]
+    tl = tl_ref[...]
+    tc = _unpack_planar(tw_ref[...])
+    m = (qh[:, :, None] == th[:, None, :]) & (
+        ql[:, :, None] == tl[:, None, :]
+    )
+    out_ref[...] = jnp.sum(
+        jnp.where(m, tc[:, None, :].astype(jnp.int32), jnp.int32(0)),
+        axis=2,
+        dtype=jnp.int32,
+    )
+
+
 def _kernel(qh_ref, ql_ref, th_ref, tl_ref, tc_ref, out_ref):
     # one grid step joins _P_BLK partitions: (B, Tq) queries against
     # (B, Tt) table rows, partition-aligned on the leading axis
@@ -187,7 +217,7 @@ def _kernel(qh_ref, ql_ref, th_ref, tl_ref, tc_ref, out_ref):
 
 
 @functools.lru_cache(maxsize=32)
-def _pjoin_fn(P, Tq, Tt, backend):
+def _pjoin_fn(P, Tq, Tt, backend, packed):
     import jax
 
     if backend == "pallas":
@@ -207,11 +237,14 @@ def _pjoin_fn(P, Tq, Tt, backend):
             return pl.BlockSpec((B, T), lambda p: (p, z),
                                 memory_space=pltpu.VMEM)
 
+        kern = _kernel_packed if packed else _kernel
+        Tc = Tt // 4 if packed else Tt
+
         def run(qh, ql, th, tl, tc):
             out = pl.pallas_call(
-                _kernel,
+                kern,
                 grid=(P // B,),
-                in_specs=[_bs(Tq), _bs(Tq), _bs(Tt), _bs(Tt), _bs(Tt)],
+                in_specs=[_bs(Tq), _bs(Tq), _bs(Tt), _bs(Tt), _bs(Tc)],
                 out_specs=_bs(Tq),
                 out_shape=jax.ShapeDtypeStruct((P, Tq), jnp.int32),
             )(qh, ql, th, tl, tc)
@@ -221,11 +254,15 @@ def _pjoin_fn(P, Tq, Tt, backend):
         return jax.jit(run)
 
     def run_xla(qh, ql, th, tl, tc):
+        if packed:
+            tc = _unpack_planar(tc)
         m = (qh[:, :, None] == th[:, None, :]) & (
             ql[:, :, None] == tl[:, None, :]
         )
         return jnp.sum(
-            jnp.where(m, tc[:, None, :], jnp.uint32(0)),
+            jnp.where(m, tc[:, None, :], jnp.uint32(0)).astype(
+                jnp.uint32
+            ),
             axis=2,
             dtype=jnp.uint32,
         )
@@ -233,14 +270,15 @@ def _pjoin_fn(P, Tq, Tt, backend):
     return jax.jit(run_xla)
 
 
-def pjoin_lookup_fn(P, Tq, Tt):
+def pjoin_lookup_fn(P, Tq, Tt, packed=False):
     """The jitted (P,Tq)x(P,Tt) -> (P,Tq) partition-join counts
     function: the Pallas kernel on TPU backends, an equivalent XLA
-    program elsewhere (CPU tests / virtual meshes)."""
+    program elsewhere (CPU tests / virtual meshes). ``packed``: the
+    count operand is (P, Tt/4) planar byte-packed uint32 words."""
     import jax
 
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    return _pjoin_fn(P, Tq, Tt, backend)
+    return _pjoin_fn(P, Tq, Tt, backend, packed)
 
 
 def quantile_partition_ids(keys_u64, b, k):
