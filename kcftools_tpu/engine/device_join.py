@@ -333,6 +333,57 @@ class DeviceJoinScorer:
                 buf[2 * nt + slot] = db_counts
         return buf, Tt, packed
 
+    # above this many slab positions the join and the scan run as two
+    # executions: each phase's HBM peak then stands alone (the fused
+    # program at 325 Mbp holds tiles + routed counts + scan lanes at
+    # once and exceeds a 16 GB chip), at the cost of one extra
+    # dispatch round trip
+    _FUSE_MAX_POS = 1 << 23
+
+    def _get_split_fns(self, Tt, packed):
+        import jax
+
+        from ..ops.pjoin import pjoin_lookup_fn
+
+        fkey = ("split", Tt, packed)
+        if fkey not in self._slab_fns:
+            join_fn = pjoin_lookup_fn(self.P, self.Tq, Tt, packed=packed)
+            P, Tq = self.P, self.Tq
+
+            def join_only(tiles, qh, ql):
+                n = P * Tt
+                th = tiles[:n].reshape(P, Tt)
+                tl = tiles[n : 2 * n].reshape(P, Tt)
+                tc = tiles[2 * n :].reshape(
+                    P, Tt // 4 if packed else Tt
+                )
+                return join_fn(qh, ql, th, tl, tc)
+
+            wide = any(
+                int((s["w_hi"][: s["n_win"]] - s["w_start"][: s["n_win"]]).max()
+                    if s["n_win"] else 0) + 1 > 65537
+                for s in self._layout.slabs
+            )
+            k = self.k
+            min_count = self.min_count
+
+            def scan_all(routed, sms, vbs, wss, whs):
+                flat = routed.reshape(-1)
+
+                def one(args):
+                    sm, vb, ws, wh = args
+                    return _slab_scan(flat, sm, vb, ws, wh, k=k,
+                                      min_count=min_count,
+                                      wide_windows=wide)
+
+                return jax.lax.map(one, (sms, vbs, wss, whs))
+
+            self._slab_fns[fkey] = (
+                jax.jit(join_only, donate_argnums=(0,)),
+                jax.jit(scan_all, donate_argnums=(0,)),
+            )
+        return self._slab_fns[fkey]
+
     def submit(self, key, ref_keys, db_keys, db_counts):
         """Ship one sample's sorted table and dispatch its join + slab
         scans (all asynchronous). ``ref_keys`` is accepted for
@@ -344,10 +395,16 @@ class DeviceJoinScorer:
         buf, Tt, packed = self._pack_tiles(db_keys, db_counts)
         dev = jax.device_put(buf, self.device)  # ONE put per sample
         st = self._statics
-        h = self._get_sample_fn(Tt, packed)(
-            dev, self._q_hi, self._q_lo, st["slot_maps"],
-            st["valid_bits"], st["w_starts"], st["w_his"],
-        )
+        if self._layout.pos_pad > self._FUSE_MAX_POS:
+            join_fn, scan_fn = self._get_split_fns(Tt, packed)
+            routed = join_fn(dev, self._q_hi, self._q_lo)
+            h = scan_fn(routed, st["slot_maps"], st["valid_bits"],
+                        st["w_starts"], st["w_his"])
+        else:
+            h = self._get_sample_fn(Tt, packed)(
+                dev, self._q_hi, self._q_lo, st["slot_maps"],
+                st["valid_bits"], st["w_starts"], st["w_his"],
+            )
         try:
             h.copy_to_host_async()
         except AttributeError:
@@ -387,6 +444,160 @@ class DeviceJoinScorer:
     def close(self):
         self._handles.clear()
         self._results.clear()
+
+
+class MeshJoinScorer(DeviceJoinScorer):
+    """Multi-chip device-join: quantile partitions shard across the
+    mesh's TABLE axis (each chip holds 1/t of the reference query
+    tiles and receives 1/t of every sample's table tiles - the
+    wheat-scale layout where no chip ever holds the whole table),
+    genome slabs shard across the DATA axis. Per sample: local Pallas
+    joins, ONE all_gather of the routed counts over ICI, then each
+    data shard scans its slabs. Output and semantics identical to the
+    single-chip scorer."""
+
+    def __init__(self, refidx, k, mesh, min_count=1, batch=None,
+                 tile_target=512):
+        super().__init__(refidx, k, min_count=min_count, batch=batch,
+                         tile_target=tile_target)
+        self.mesh = mesh
+        self.t_axis = mesh.shape["table"]
+        self.d_axis = mesh.shape["data"]
+
+    def _finalize(self):
+        if self._statics is not None:
+            return
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+
+        from ..ops.pjoin import tile_sorted
+
+        n_ref = self._refk.shape[0]
+        b = 1
+        while (1 << b) * self._tile_target * 3 < n_ref * 4 or (
+            (1 << b) < self.t_axis
+        ):
+            b += 1
+        qh, ql, _tc, rank, part = tile_sorted(self._refk, self.k, b)
+        self.P = 1 << b
+        self.Tq = qh.shape[1]
+        slot_of_ord = (part * self.Tq + rank).astype(np.int64)
+        tspec = NamedSharding(self.mesh, PS("table", None))
+        self._q_hi = jax.device_put(qh, tspec)
+        self._q_lo = jax.device_put(ql, tspec)
+        self._tspec = tspec
+        Logger.info(
+            _CLASS,
+            f"Reference routed: {n_ref} k-mers -> {self.P} x {self.Tq} "
+            f"query tiles across table={self.t_axis}",
+        )
+
+        self._layout.finalize(n_parts=self.d_axis)
+        slabs = self._layout.slabs
+        # pad the slab count to the data axis (dummy slabs are all-
+        # invalid: zero valid bits -> zero stats)
+        S = -(-max(len(slabs), 1) // self.d_axis) * self.d_axis
+        nbb = self._layout.pos_pad // 8
+        slot_maps = np.zeros((S, self._layout.pos_pad), np.int32)
+        vbits = np.zeros((S, nbb), np.uint8)
+        w_starts = np.zeros((S, self._layout.win_pad), np.int32)
+        w_his = np.zeros((S, self._layout.win_pad), np.int32)
+        for si, slab in enumerate(slabs):
+            r_idx = slab["r_idx"]
+            live = r_idx >= 0
+            slot_maps[si, live] = slot_of_ord[r_idx[live]].astype(np.int32)
+            packedb = np.packbits(live, bitorder="little")
+            vbits[si, : packedb.shape[0]] = packedb
+            w_starts[si] = slab["w_start"]
+            w_his[si] = slab["w_hi"]
+        dspec = NamedSharding(self.mesh, PS("data", None))
+        self._statics = {
+            "slot_maps": jax.device_put(slot_maps, dspec),
+            "valid_bits": jax.device_put(vbits, dspec),
+            "w_starts": jax.device_put(w_starts, dspec),
+            "w_his": jax.device_put(w_his, dspec),
+        }
+
+    def _get_sample_fn(self, Tt, packed):
+        import jax
+        from jax.sharding import PartitionSpec as PS
+
+        from ..ops.pjoin import pjoin_lookup_fn
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        fkey = (Tt, packed)
+        if fkey not in self._slab_fns:
+            join_fn = pjoin_lookup_fn(
+                self.P // self.t_axis, self.Tq, Tt, packed=packed
+            )
+            wide = any(
+                int((s["w_hi"][: s["n_win"]] - s["w_start"][: s["n_win"]]).max()
+                    if s["n_win"] else 0) + 1 > 65537
+                for s in self._layout.slabs
+            )
+            k = self.k
+            min_count = self.min_count
+
+            def local(th, tl, tw, qh, ql, sms, vbs, wss, whs):
+                routed_loc = join_fn(qh, ql, th, tl, tw)
+                routed = jax.lax.all_gather(
+                    routed_loc, "table", axis=0, tiled=True
+                )
+                flat = routed.reshape(-1)
+
+                def one(args):
+                    sm, vb, ws, wh = args
+                    return _slab_scan(flat, sm, vb, ws, wh, k=k,
+                                      min_count=min_count,
+                                      wide_windows=wide)
+
+                return jax.lax.map(one, (sms, vbs, wss, whs))
+
+            mapped = shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(
+                    PS("table", None), PS("table", None),
+                    PS("table", None), PS("table", None),
+                    PS("table", None),
+                    PS("data", None), PS("data", None),
+                    PS("data", None), PS("data", None),
+                ),
+                out_specs=PS("data", None, None),
+                check_vma=False,
+            )
+            self._slab_fns[fkey] = jax.jit(mapped)
+        return self._slab_fns[fkey]
+
+    def submit(self, key, ref_keys, db_keys, db_counts):
+        import jax
+
+        self._finalize()
+        db_counts = np.ascontiguousarray(db_counts, np.uint32)
+        buf, Tt, packed = self._pack_tiles(db_keys, db_counts)
+        nt = self.P * Tt
+        th = jax.device_put(buf[:nt].reshape(self.P, Tt), self._tspec)
+        tl = jax.device_put(
+            buf[nt : 2 * nt].reshape(self.P, Tt), self._tspec
+        )
+        tw = jax.device_put(
+            buf[2 * nt :].reshape(self.P, -1), self._tspec
+        )
+        st = self._statics
+        h = self._get_sample_fn(Tt, packed)(
+            th, tl, tw, self._q_hi, self._q_lo, st["slot_maps"],
+            st["valid_bits"], st["w_starts"], st["w_his"],
+        )
+        try:
+            h.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._handles[key] = h
 
 
 def sorted_keys_u64(db_sorted):

@@ -108,3 +108,51 @@ def test_device_join_multi_chrom_and_empty():
     for name, nw in geom.items():
         assert out[name]["observed"].shape[0] == nw
         assert out[name]["observed"].sum() > 0
+
+
+@pytest.mark.parametrize("data,table", [(2, 4), (4, 2), (1, 8)])
+def test_mesh_join_matches_single(data, table):
+    """The mesh-sharded join (partitions across the table axis, slabs
+    across the data axis, one all_gather) must equal the single-chip
+    scorer exactly."""
+    from kcftools_tpu.engine.device_join import MeshJoinScorer
+    from kcftools_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    k = 31
+    length = 60_000
+    genome = rng.integers(0, 4, length).astype(np.uint8)
+    valid = np.ones(length, bool)
+    kmers, kv = pack_kmers(genome, valid, k)
+    canon = canonicalize(kmers, k)
+    refk = np.unique(canon[kv])
+    r_idx = np.searchsorted(refk, canon).astype(np.int32)
+    starts, ends = tiling_windows(length, 4000, k)
+
+    s = genome.copy()
+    snp = rng.random(length) < 0.01
+    s[snp] = (s[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
+    km2, kv2 = pack_kmers(s, valid, k)
+    db, dbc = np.unique(canonicalize(km2[kv2], k), return_counts=True)
+    dbc = dbc.astype(np.uint32)
+
+    ref = _Ref()
+    ref.kmers = refk
+    single = DeviceJoinScorer(ref, k, min_count=1)
+    single.add_chrom("c", r_idx, starts, ends)
+    single.submit(0, refk, db, dbc)
+    want = single.collect(0)["c"]
+
+    mesh = make_mesh(data=data, table=table)
+    msc = MeshJoinScorer(ref, k, mesh, min_count=1)
+    msc.add_chrom("c", r_idx, starts, ends)
+    msc.submit(0, refk, db, dbc)
+    got = msc.collect(0)["c"]
+    for f in ("observed", "variations", "inner", "left", "right",
+              "count_sum"):
+        np.testing.assert_array_equal(got[f], want[f], err_msg=f)
+    # the table really is sharded: each device holds P/table partition
+    # rows (replicated along data), and `table` distinct slices exist
+    shards = msc._q_hi.addressable_shards
+    assert shards[0].data.shape[0] == msc.P // table
+    assert len({sh.index[0] for sh in shards}) == table
