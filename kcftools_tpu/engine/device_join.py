@@ -171,6 +171,17 @@ class DeviceJoinScorer:
 
     # -- reference-side setup -------------------------------------------
 
+    def _pick_b(self, n_ref):
+        """Partition bits so the MEAN occupancy lands in
+        [tile_target, 2*tile_target): partition-count skew scales with
+        1/sqrt(mean), so larger tiles pack tighter - at 325M keys this
+        is fill 0.8 vs 0.6, i.e. ~35% less HBM and wire for the query
+        tiles, sample tiles and routed counts alike."""
+        b = 1
+        while (n_ref >> b) >= 2 * self._tile_target:
+            b += 1
+        return b
+
     def add_chrom(self, name, r_idx, starts, ends):
         self._layout.add_chrom(name, r_idx, starts, ends)
 
@@ -183,9 +194,7 @@ class DeviceJoinScorer:
         import jax
 
         n_ref = self._refk.shape[0]
-        b = 1
-        while (1 << b) * self._tile_target * 3 < n_ref * 4:
-            b += 1
+        b = self._pick_b(n_ref)
         from ..ops.pjoin import tile_sorted
 
         qh, ql, _tc, rank, part = tile_sorted(self._refk, self.k, b)
@@ -474,10 +483,8 @@ class MeshJoinScorer(DeviceJoinScorer):
         from ..ops.pjoin import tile_sorted
 
         n_ref = self._refk.shape[0]
-        b = 1
-        while (1 << b) * self._tile_target * 3 < n_ref * 4 or (
-            (1 << b) < self.t_axis
-        ):
+        b = self._pick_b(n_ref)
+        while (1 << b) < self.t_axis:
             b += 1
         qh, ql, _tc, rank, part = tile_sorted(self._refk, self.k, b)
         self.P = 1 << b
