@@ -264,11 +264,6 @@ class DeviceJoinScorer:
                     Tt=Tt,
                     packed_counts=packed,
                 ),
-                # the per-sample tile buffer is single-use: donating it
-                # lets XLA recycle its HBM for the routed counts + scan
-                # lanes (decisive at 325 Mbp+, where tiles alone are
-                # multiple GB of a 16 GB chip)
-                donate_argnums=(0,),
             )
         return self._slab_fns[fkey]
 
@@ -387,9 +382,13 @@ class DeviceJoinScorer:
 
                 return jax.lax.map(one, (sms, vbs, wss, whs))
 
+            # no donation: an unusable donation makes XLA COPY the
+            # multi-GB operand (observed "donated buffers were not
+            # usable"), doubling it in HBM; plain by-reference inputs
+            # free by refcount right after their last use
             self._slab_fns[fkey] = (
-                jax.jit(join_only, donate_argnums=(0,)),
-                jax.jit(scan_all, donate_argnums=(0,)),
+                jax.jit(join_only),
+                jax.jit(scan_all),
             )
         return self._slab_fns[fkey]
 
