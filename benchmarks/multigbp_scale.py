@@ -195,7 +195,9 @@ def main():
         db = os.path.join(args.workdir, f"s{i}")
         row = {"sample": f"s{i}"}
         kcf_out = os.path.join(kcf_dir, f"s{i}.kcf")
-        if not os.path.exists(db + ".kmc_suf"):
+        dprefix_wanted = args.dprefix_last and i == args.samples - 1
+        db_needed = not os.path.exists(kcf_out) or dprefix_wanted
+        if db_needed and not os.path.exists(db + ".kmc_suf"):
             log(f"building database s{i}")
             t0 = time.time()
             row["n_keys"] = build_sample_db(db, i)

@@ -158,7 +158,17 @@ class DeviceJoinScorer:
         if batch is None:
             batch = int(os.environ.get("KCFTOOLS_DEVICE_BATCH", "8"))
         self.batch = max(1, int(batch))
-        slab = int(os.environ.get("KCFTOOLS_DPREFIX_SLAB", str(1 << 26)))
+        # smaller slabs than the dprefix engine: the scan's prefix
+        # lanes cost ~36 arrays of slab_pos int32 as XLA temporaries,
+        # and lax.map bounds HBM to ONE slab's lanes - 2^24 positions
+        # keeps that ~2.4 GB (2^26 slabs exhausted the v5e at 325 Mbp
+        # with the query tiles + routed counts resident)
+        slab = int(
+            os.environ.get(
+                "KCFTOOLS_DJOIN_SLAB",
+                os.environ.get("KCFTOOLS_DPREFIX_SLAB", str(1 << 24)),
+            )
+        )
         self._layout = _Layout(self.k, slab)
         self._refk = refidx.kmers  # sorted unique uint64
         self._tile_target = int(tile_target)
